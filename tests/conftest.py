@@ -1,0 +1,36 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so that
+multi-chip sharding tests run anywhere (the TPU-hardware path is exercised by
+bench.py and the driver's compile checks).
+
+Must set env vars before the first jax import.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    """An 8-device (data=2, model=4) mesh on the virtual CPU devices."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    return Mesh(devices, ("data", "model"))

@@ -1,0 +1,253 @@
+"""Codec core tests: exhaustive algebraic verification of the Hamming and
+Golay codecs, roundtrip behavior, and error-classification semantics.
+
+Mirrors the reference's codec property tests and verification module
+(evaluation/verification.py, tests/test_fused_kernels.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qkv_ecc_tpu.codecs import (
+    ErrorType,
+    GOLAY_SYNDROME_TABLE,
+    GOLAY_UNCORRECTABLE_COUNT,
+    Golay2412,
+    Hamming74,
+    Hamming84,
+    golay_decode,
+    golay_decode_algebraic,
+    golay_encode,
+    golay_pack,
+    golay_unpack,
+    hamming74_decode,
+    hamming74_encode,
+    hamming84_decode,
+    hamming84_encode,
+)
+from qkv_ecc_tpu.codecs import algebra as A
+
+
+class TestAlgebra:
+    def test_hamming_g_h_orthogonal(self):
+        gh = (A.HAMMING74_G.astype(int) @ A.HAMMING74_H.astype(int).T) % 2
+        assert gh.sum() == 0
+
+    def test_golay_g_h_orthogonal(self):
+        gh = (A.GOLAY_G.astype(int) @ A.GOLAY_H.astype(int).T) % 2
+        assert gh.sum() == 0
+
+    def test_golay_b_symmetric_involutory(self):
+        b = A.GOLAY_B_MATRIX.astype(int)
+        assert np.array_equal(b, b.T)
+        assert np.array_equal((b @ b) % 2, np.eye(12, dtype=int))
+
+    def test_golay_syndrome_table_counts(self):
+        t = GOLAY_SYNDROME_TABLE
+        assert t.shape == (4096,)
+        assert (t >= 0).sum() == 2325  # 1 + 24 + 276 + 2024
+        assert t[0] == 0
+
+    def test_golay_min_distance_8(self):
+        """All 2^12 nonzero codewords have weight >= 8 (the code's minimum
+        distance), proving 3-error correction capability."""
+        data = np.arange(4096, dtype=np.int32)
+        nibbles = np.stack(
+            [(data >> 0) & 0xF, (data >> 4) & 0xF, (data >> 8) & 0xF], axis=-1
+        ).astype(np.uint8)
+        cw = np.asarray(golay_encode(jnp.asarray(nibbles)))
+        weights = np.array([bin(int(c) & 0xFFFFFF).count("1") for c in cw])
+        assert weights[0] == 0
+        assert weights[1:].min() == 8
+
+
+class TestHamming74:
+    def test_roundtrip_all_values(self):
+        vals = jnp.arange(16, dtype=jnp.uint8)
+        cw = hamming74_encode(vals)
+        data, err, corrected = hamming74_decode(cw)
+        assert jnp.array_equal(data, vals)
+        assert not bool(jnp.any(err))
+        assert int(corrected) == 0
+
+    def test_corrects_every_single_bit_flip(self):
+        vals = jnp.arange(16, dtype=jnp.uint8)
+        cw = hamming74_encode(vals)
+        for bit in range(7):
+            corrupted = cw ^ jnp.uint8(1 << bit)
+            data, err, corrected = hamming74_decode(corrupted)
+            assert jnp.array_equal(data, vals), f"bit {bit}"
+            assert bool(jnp.all(err))
+            assert int(corrected) == 16
+
+    def test_codewords_match_generator_matrix(self):
+        """Kernel-style bit-twiddle encode must equal data @ G mod 2."""
+        for v in range(16):
+            d = np.array([(v >> i) & 1 for i in range(4)])
+            expected_bits = (d @ A.HAMMING74_G.astype(int)) % 2
+            expected = int(sum(int(b) << i for i, b in enumerate(expected_bits)))
+            got = int(hamming74_encode(jnp.asarray([v], dtype=jnp.uint8))[0])
+            assert got == expected, f"value {v}"
+
+
+class TestHamming84SECDED:
+    def test_roundtrip(self):
+        vals = jnp.arange(16, dtype=jnp.uint8)
+        cw = hamming84_encode(vals)
+        data, et, corrected, detected = hamming84_decode(cw)
+        assert jnp.array_equal(data, vals)
+        assert bool(jnp.all(et == ErrorType.NO_ERROR))
+        assert (int(corrected), int(detected)) == (0, 0)
+
+    def test_even_weight_codewords(self):
+        cw = np.asarray(hamming84_encode(jnp.arange(16, dtype=jnp.uint8)))
+        for c in cw:
+            assert bin(int(c)).count("1") % 2 == 0
+
+    def test_single_errors_corrected_exhaustive(self):
+        vals = jnp.arange(16, dtype=jnp.uint8)
+        cw = hamming84_encode(vals)
+        for bit in range(8):
+            corrupted = cw ^ jnp.uint8(1 << bit)
+            data, et, corrected, detected = hamming84_decode(corrupted)
+            assert jnp.array_equal(data, vals), f"bit {bit}"
+            assert int(detected) == 0
+            if bit == 7:
+                assert bool(jnp.all(et == ErrorType.PARITY_ONLY))
+            else:
+                assert bool(jnp.all(et == ErrorType.SINGLE_CORRECTED))
+                assert int(corrected) == 16
+
+    def test_double_errors_detected_never_miscorrected_exhaustive(self):
+        """The SECDED guarantee: every 2-bit flip is classified
+        DOUBLE_DETECTED, never silently 'corrected' into wrong data
+        (reference verification.py:282-392, miscorrection_rate == 0 gate)."""
+        vals = jnp.arange(16, dtype=jnp.uint8)
+        cw = hamming84_encode(vals)
+        for b1 in range(8):
+            for b2 in range(b1 + 1, 8):
+                corrupted = cw ^ jnp.uint8((1 << b1) | (1 << b2))
+                data, et, corrected, detected = hamming84_decode(corrupted)
+                assert bool(jnp.all(et == ErrorType.DOUBLE_DETECTED)), (b1, b2)
+                assert int(corrected) == 0
+                assert int(detected) == 16
+
+    def test_double_error_preserves_data_bits(self):
+        """On DOUBLE_DETECTED the possibly-corrupt data nibble is returned
+        unmodified, not zeroed (reference hamming84_triton.py:201-203)."""
+        vals = jnp.asarray([5], dtype=jnp.uint8)
+        cw = hamming84_encode(vals)
+        corrupted = cw ^ jnp.uint8(0b11)  # flip d0 and d1
+        data, et, _, _ = hamming84_decode(corrupted)
+        assert int(et[0]) == ErrorType.DOUBLE_DETECTED
+        assert int(data[0]) == (5 ^ 0b11)
+
+
+class TestGolay:
+    def test_roundtrip_all_4096(self):
+        data = jnp.arange(4096, dtype=jnp.int32)
+        nibbles = golay_unpack(data)
+        cw = golay_encode(nibbles)
+        dec, cnt, corrected_bits, unc = golay_decode(cw)
+        assert jnp.array_equal(dec, nibbles)
+        assert bool(jnp.all(cnt == 0))
+        assert int(corrected_bits) == 0 and int(unc) == 0
+
+    def test_pack_unpack(self):
+        rng = np.random.default_rng(0)
+        trip = jnp.asarray(rng.integers(0, 16, (100, 3), dtype=np.uint8))
+        assert jnp.array_equal(golay_unpack(golay_pack(trip)), trip)
+
+    @pytest.mark.parametrize("weight", [1, 2, 3])
+    def test_corrects_up_to_three_errors_random(self, weight, rng):
+        trip = jnp.asarray(rng.integers(0, 16, (256, 3), dtype=np.uint8))
+        cw = golay_encode(trip)
+        flips = np.zeros(256, dtype=np.int64)
+        for r in range(256):
+            for b in rng.choice(24, size=weight, replace=False):
+                flips[r] |= 1 << int(b)
+        corrupted = cw ^ jnp.asarray(flips, dtype=jnp.int32)
+        dec, cnt, corrected_bits, unc = golay_decode(corrupted)
+        assert jnp.array_equal(dec, trip)
+        assert bool(jnp.all(cnt == weight))
+        assert int(corrected_bits) == 256 * weight
+        assert int(unc) == 0
+
+    def test_single_bit_flips_exhaustive(self):
+        trip = jnp.asarray([[3, 7, 12]], dtype=jnp.uint8)
+        cw = golay_encode(trip)
+        for bit in range(24):
+            corrupted = cw ^ jnp.int32(1 << bit)
+            dec, cnt, _, unc = golay_decode(corrupted)
+            assert jnp.array_equal(dec[0], trip[0]), f"bit {bit}"
+            assert int(cnt[0]) == 1 and int(unc) == 0
+
+    def test_four_errors_uncorrectable_preserves_data(self, rng):
+        trip = jnp.asarray(rng.integers(0, 16, (128, 3), dtype=np.uint8))
+        cw = golay_encode(trip)
+        flips = np.zeros(128, dtype=np.int64)
+        for r in range(128):
+            for b in rng.choice(24, size=4, replace=False):
+                flips[r] |= 1 << int(b)
+        corrupted = cw ^ jnp.asarray(flips, dtype=jnp.int32)
+        dec, cnt, _, unc = golay_decode(corrupted)
+        # Weight-4 patterns either land in an uncorrectable coset (detected,
+        # data preserved as-corrupted) or alias to a weight<=3 correction of a
+        # *different* codeword; never a silent exact match plus count 0.
+        uncorrectable_mask = np.asarray(cnt) == GOLAY_UNCORRECTABLE_COUNT
+        preserved = np.asarray(golay_unpack(corrupted & 0xFFF))
+        assert int(unc) == int(uncorrectable_mask.sum())
+        assert np.array_equal(
+            np.asarray(dec)[uncorrectable_mask], preserved[uncorrectable_mask]
+        )
+
+    def test_algebraic_decoder_matches_lut_exhaustive_w3(self):
+        """The LUT-free arithmetic decoder (used in the Pallas kernels) must
+        agree with the syndrome-LUT decoder on every error pattern of weight
+        <= 3 and on uncorrectability for random heavier patterns."""
+        base = golay_encode(jnp.asarray([[9, 2, 14]], dtype=jnp.uint8))
+        patterns = [0]
+        patterns += [1 << i for i in range(24)]
+        patterns += [(1 << i) | (1 << j) for i in range(24) for j in range(i + 1, 24)]
+        patterns += [
+            (1 << i) | (1 << j) | (1 << k)
+            for i in range(24)
+            for j in range(i + 1, 24)
+            for k in range(j + 1, 24)
+        ]
+        cw = base[0] ^ jnp.asarray(patterns, dtype=jnp.int32)
+        d_lut, c_lut, _, unc_lut = golay_decode(cw)
+        d_alg, c_alg, _, unc_alg = golay_decode_algebraic(cw)
+        assert jnp.array_equal(d_lut, d_alg)
+        assert jnp.array_equal(c_lut, c_alg)
+        assert int(unc_lut) == int(unc_alg) == 0
+
+    def test_algebraic_decoder_matches_lut_random_heavy(self, rng):
+        cw = jnp.asarray(
+            rng.integers(0, 1 << 24, size=(4096,), dtype=np.int64), dtype=jnp.int32
+        )
+        d_lut, c_lut, _, unc_lut = golay_decode(cw)
+        d_alg, c_alg, _, unc_alg = golay_decode_algebraic(cw)
+        assert jnp.array_equal(c_lut, c_alg)
+        assert jnp.array_equal(d_lut, d_alg)
+        assert int(unc_lut) == int(unc_alg)
+
+
+class TestCodecClasses:
+    def test_hamming74_class(self):
+        c = Hamming74()
+        vals = jnp.arange(16, dtype=jnp.uint8)
+        data, err, n = c.decode(c.encode(vals))
+        assert jnp.array_equal(data, vals) and n == 0
+
+    def test_hamming84_class(self):
+        c = Hamming84()
+        vals = jnp.arange(16, dtype=jnp.uint8)
+        data, stats = c.decode(c.encode(vals))
+        assert jnp.array_equal(data, vals) and stats == (0, 0)
+        data, et, stats = c.decode(c.encode(vals), return_error_types=True)
+        assert bool(jnp.all(et == ErrorType.NO_ERROR))
+
+    def test_golay_class_verify_properties(self):
+        assert Golay2412().verify_properties()
