@@ -51,6 +51,7 @@ def _bit(x, i):
 # =============================================================================
 
 
+@jax.jit
 def hamming74_encode(values: jax.Array) -> jax.Array:
     """INT4 values (uint8, low nibble) -> 7-bit codewords (uint8).
 
@@ -73,6 +74,7 @@ def _hamming7_syndrome(cw7):
     return (s0 | (s1 << 1) | (s2 << 2)).astype(jnp.int32)
 
 
+@jax.jit
 def hamming74_decode(codewords: jax.Array):
     """Decode 7-bit codewords -> (data, error_detected, corrected_count).
 
@@ -97,6 +99,7 @@ def hamming74_decode(codewords: jax.Array):
 # =============================================================================
 
 
+@jax.jit
 def hamming84_encode(values: jax.Array) -> jax.Array:
     """INT4 values -> 8-bit SECDED codewords (bit 7 = overall parity)."""
     cw7 = hamming74_encode(values)
@@ -107,6 +110,7 @@ def hamming84_encode(values: jax.Array) -> jax.Array:
     return (cw7 | (p << 7)).astype(jnp.uint8)
 
 
+@jax.jit
 def hamming84_decode(codewords: jax.Array):
     """Decode SECDED codewords.
 
@@ -157,6 +161,7 @@ def _parity_popcount(x):
     return (jax.lax.population_count(x) & 1).astype(jnp.int32)
 
 
+@jax.jit
 def golay_syndrome(codewords: jax.Array) -> jax.Array:
     """12-bit syndrome of 24-bit codewords (int32)."""
     cw = codewords.astype(jnp.int32)
@@ -180,6 +185,7 @@ def golay_unpack(data12: jax.Array) -> jax.Array:
     ).astype(jnp.uint8)
 
 
+@jax.jit
 def golay_encode(nibbles: jax.Array) -> jax.Array:
     """Encode INT4 triplets [..., 3] -> 24-bit codewords [...] (int32).
 
@@ -194,6 +200,7 @@ def golay_encode(nibbles: jax.Array) -> jax.Array:
     return data | (parity << 12)
 
 
+@jax.jit
 def golay_decode(codewords: jax.Array):
     """LUT-based Golay decode (the oracle; the Pallas kernel uses the
     algebraic decoder, differential-tested against this one).
@@ -219,6 +226,7 @@ def golay_decode(codewords: jax.Array):
     return triplets, error_count, corrected_bits, uncorrectable_count
 
 
+@jax.jit
 def golay_decode_algebraic(codewords: jax.Array):
     """LUT-free arithmetic Golay decode (IMLD / Lin-Costello style).
 

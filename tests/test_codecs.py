@@ -56,8 +56,8 @@ class TestAlgebra:
         nibbles = np.stack(
             [(data >> 0) & 0xF, (data >> 4) & 0xF, (data >> 8) & 0xF], axis=-1
         ).astype(np.uint8)
-        cw = np.asarray(golay_encode(jnp.asarray(nibbles)))
-        weights = np.array([bin(int(c) & 0xFFFFFF).count("1") for c in cw])
+        cw = np.asarray(golay_encode(jnp.asarray(nibbles))).astype(np.int64)
+        weights = np.array([bin(int(c) & 0xFFFFFF).count("1") for c in cw.tolist()])
         assert weights[0] == 0
         assert weights[1:].min() == 8
 

@@ -1,0 +1,231 @@
+"""Differential tests for the fused paged-attention kernel vs the jnp
+reference implementation (mirrors reference tests/test_paged_attention_ecc.py:
+hand-built paged caches, kernel-vs-reference max-diff, injected-then-corrected
+errors, GQA, edge cases)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qkv_ecc_tpu.cache.layout import ECCCacheConfig, allocate_ecc_kv_cache, pack_thirds
+from qkv_ecc_tpu.codecs import (
+    hamming74_encode,
+    hamming84_encode,
+    inject_bit_errors,
+)
+from qkv_ecc_tpu.kernels.common import golay_encode_i32
+from qkv_ecc_tpu.kernels.paged_attention import (
+    paged_attention_ecc,
+    paged_attention_ecc_reference,
+)
+from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
+
+B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
+
+
+def build_cache(rng, cfg: ECCCacheConfig, batch, context_lens, ber=0.0, seed=0):
+    """Hand-build a paged ECC cache from random float K/V; returns
+    (cache dict, block_table, q-independent float K/V ground truth)."""
+    caches = {k: np.array(v) for k, v in allocate_ecc_kv_cache(cfg).items()}
+    max_blocks = cfg.num_blocks // max(batch, 1)
+    block_table = np.full((batch, max_blocks), -1, dtype=np.int32)
+
+    # deterministic nonoverlapping physical block assignment, scrambled
+    perm = rng.permutation(cfg.num_blocks)
+    next_block = 0
+
+    kv_true = {}
+    for b in range(batch):
+        ctx = context_lens[b]
+        n_blocks = -(-ctx // cfg.block_size)
+        k_float = rng.normal(size=(ctx, cfg.num_kv_heads, cfg.head_dim)).astype(
+            np.float32
+        )
+        v_float = rng.normal(size=(ctx, cfg.num_kv_heads, cfg.head_dim)).astype(
+            np.float32
+        )
+        kv_true[b] = (k_float, v_float)
+        for lb in range(n_blocks):
+            phys = int(perm[next_block]); next_block += 1
+            block_table[b, lb] = phys
+            for layer in range(cfg.num_layers):
+                for slot in range(cfg.block_size):
+                    pos = lb * cfg.block_size + slot
+                    if pos >= ctx:
+                        break
+                    for name, src in (("k", k_float), ("v", v_float)):
+                        row = src[pos]  # [heads, head_dim]
+                        absmax = np.abs(row).max(axis=-1)
+                        scale = np.where(absmax == 0, 1.0, absmax / 7.0)
+                        q = np.clip(np.round(row / scale[:, None]), -8, 7) + 8
+                        q = q.astype(np.uint8)
+                        if cfg.codec == "golay":
+                            pad = cfg.padded_head_dim - cfg.head_dim
+                            qp = np.pad(q, ((0, 0), (0, pad)))
+                            data12 = np.asarray(
+                                pack_thirds(jnp.asarray(qp))
+                            )
+                            cw = np.asarray(
+                                golay_encode_i32(jnp.asarray(data12), B_MASKS)
+                            )
+                        elif cfg.codec == "hamming84":
+                            cw = np.asarray(hamming84_encode(jnp.asarray(q)))
+                        elif cfg.codec == "hamming74":
+                            cw = np.asarray(hamming74_encode(jnp.asarray(q)))
+                        else:  # int4
+                            cw = q
+                        caches[f"{name}_cache"][layer, phys, :, slot, :] = cw
+                        caches[f"{name}_scales"][layer, phys, :, slot] = scale
+
+    cache = {k: jnp.asarray(v) for k, v in caches.items()}
+    if ber > 0:
+        nbits = {"hamming84": 8, "hamming74": 7, "golay": 24, "int4": 4}[cfg.codec]
+        cache["k_cache"] = inject_bit_errors(cache["k_cache"], ber, nbits, seed=seed)
+        cache["v_cache"] = inject_bit_errors(
+            cache["v_cache"], ber, nbits, seed=seed + 1
+        )
+    return cache, jnp.asarray(block_table), kv_true
+
+
+def run_both(rng, codec, batch=2, num_q_heads=4, num_kv_heads=2, head_dim=64,
+             context_lens=(23, 40), ber=0.0, num_layers=2, layer_idx=1):
+    cfg = ECCCacheConfig(
+        num_blocks=16,
+        block_size=16,
+        num_layers=num_layers,
+        num_kv_heads=num_kv_heads,
+        head_dim=head_dim,
+        codec=codec,
+    )
+    cache, block_table, kv_true = build_cache(
+        rng, cfg, batch, context_lens, ber=ber
+    )
+    q = jnp.asarray(
+        rng.normal(size=(batch, num_q_heads, head_dim)).astype(np.float32)
+    )
+    ctx = jnp.asarray(context_lens, jnp.int32)
+    kwargs = dict(codec=codec, block_size=cfg.block_size)
+    out_kernel = paged_attention_ecc(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], block_table, ctx, layer_idx, **kwargs
+    )
+    out_ref = paged_attention_ecc_reference(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], block_table, ctx, layer_idx, **kwargs
+    )
+    return out_kernel, out_ref, (q, cache, block_table, ctx, kv_true, cfg)
+
+
+@pytest.mark.parametrize("codec", ["int4", "hamming74", "hamming84", "golay"])
+def test_kernel_matches_reference_clean(codec, rng):
+    out_k, out_r, _ = run_both(rng, codec)
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+@pytest.mark.parametrize("codec", ["hamming84", "golay"])
+def test_kernel_matches_reference_with_errors(codec, rng):
+    """Same bit corruption fed to both paths must give identical outputs
+    (decode semantics incl. double-error preservation / golay zeroing)."""
+    out_k, out_r, _ = run_both(rng, codec, ber=5e-3)
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+def test_attention_matches_exact_float_at_ber0(rng):
+    """At BER=0 the ECC round-trip equals plain quantized attention against
+    the ground-truth float K/V (quantization error only)."""
+    out_k, _, (q, cache, bt, ctx, kv_true, cfg) = run_both(
+        rng, "hamming84", batch=1, context_lens=(37,)
+    )
+    k_f, v_f = kv_true[0]
+    # exact attention on the ground-truth floats (quantize-dequant roundtrip)
+    def roundtrip(x):
+        absmax = np.abs(x).max(axis=-1)
+        scale = np.where(absmax == 0, 1.0, absmax / 7.0)
+        qq = np.clip(np.round(x / scale[..., None]), -8, 7)
+        return qq * scale[..., None]
+    k_q = roundtrip(k_f)  # [ctx, heads, dim]
+    v_q = roundtrip(v_f)
+    qf = np.asarray(q[0]).reshape(cfg.num_kv_heads, 2, cfg.head_dim)
+    s = np.einsum("hgd,thd->hgt", qf, k_q) / np.sqrt(cfg.head_dim)
+    w = np.exp(s - s.max(-1, keepdims=True))
+    w /= w.sum(-1, keepdims=True)
+    expected = np.einsum("hgt,thd->hgd", w, v_q).reshape(1, 4, cfg.head_dim)
+    assert float(jnp.max(jnp.abs(out_k - expected))) < 1e-3
+
+
+def test_single_token_context(rng):
+    out_k, out_r, _ = run_both(rng, "hamming84", context_lens=(1, 1))
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+def test_empty_context_returns_zeros(rng):
+    out_k, out_r, _ = run_both(rng, "hamming84", context_lens=(0, 5))
+    assert float(jnp.max(jnp.abs(out_k[0]))) == 0.0
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+def test_gqa_grouping(rng):
+    """8 query heads over 2 KV heads (group=4)."""
+    out_k, out_r, _ = run_both(
+        rng, "hamming84", num_q_heads=8, num_kv_heads=2, context_lens=(19, 33)
+    )
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+def test_head_dim_128(rng):
+    out_k, out_r, _ = run_both(
+        rng, "golay", head_dim=128, context_lens=(17, 30)
+    )
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+def test_non_divisible_by_3_head_dim_golay(rng):
+    """head_dim=64 (not /3) exercises the padded third-partitioned packing."""
+    out_k, out_r, _ = run_both(rng, "golay", head_dim=64, context_lens=(16, 16))
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+def test_layer_indexing(rng):
+    """Different layer_idx reads a different slice of the stacked cache."""
+    out0, _, handles = run_both(rng, "hamming84", layer_idx=0, num_layers=2)
+    q, cache, bt, ctx, _, cfg = handles
+    out1 = paged_attention_ecc(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], bt, ctx, 0, codec="hamming84", block_size=16
+    )
+    # layer 0 of this cache was filled identically, so both layers agree;
+    # the point is indexing compiles and runs. Check reference agreement:
+    ref0 = paged_attention_ecc_reference(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], bt, ctx, 0, codec="hamming84", block_size=16
+    )
+    assert float(jnp.max(jnp.abs(out1 - ref0))) < 1e-4
+
+
+def test_online_softmax_analytic(rng):
+    """Uniform V rows -> attention output equals that row regardless of
+    scores (online-softmax normalization sanity; reference
+    test_paged_attention_ecc.py:510-596)."""
+    cfg = ECCCacheConfig(
+        num_blocks=8, block_size=16, num_layers=1, num_kv_heads=1,
+        head_dim=64, codec="int4",
+    )
+    ctx = 32
+    cache = {k: np.array(v) for k, v in allocate_ecc_kv_cache(cfg).items()}
+    block_table = np.asarray([[0, 1]], np.int32)
+    # V quantized value 12 everywhere with scale 0.5 -> dequant (12-8)*0.5 = 2
+    for phys in (0, 1):
+        cache["k_cache"][0, phys] = np.asarray(
+            np.round(rng.normal(size=(1, 16, 64)) * 2 + 8).clip(0, 15), np.uint8
+        )
+        cache["v_cache"][0, phys] = 12
+        cache["k_scales"][0, phys] = 1.0
+        cache["v_scales"][0, phys] = 0.5
+    q = jnp.asarray(rng.normal(size=(1, 1, 64)).astype(np.float32))
+    out = paged_attention_ecc(
+        q, *(jnp.asarray(cache[k]) for k in ("k_cache", "v_cache", "k_scales", "v_scales")),
+        jnp.asarray(block_table), jnp.asarray([ctx], jnp.int32), 0,
+        codec="int4", block_size=16,
+    )
+    assert np.allclose(np.asarray(out), 2.0, atol=1e-4)
