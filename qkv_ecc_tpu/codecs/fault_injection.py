@@ -30,7 +30,14 @@ def _flip_mask(key: jax.Array, shape, ber, n_bits: int, dtype) -> jax.Array:
     """Random XOR mask: bit b of each element set with probability `ber`."""
     # One uint32 draw per (element, bit); flip when draw < ber * 2^32.
     draws = jax.random.bits(key, shape=(n_bits,) + tuple(shape), dtype=jnp.uint32)
-    threshold = jnp.uint32(min(int(ber * (2.0**32)), 0xFFFFFFFF))
+    if isinstance(ber, (int, float)):
+        threshold = jnp.uint32(min(int(ber * (2.0**32)), 0xFFFFFFFF))
+    else:
+        # traced BER (inside jit): float32 threshold, ~1e-7 relative rounding
+        threshold = jnp.minimum(
+            jnp.asarray(ber, jnp.float32) * jnp.float32(2.0**32),
+            jnp.float32(2.0**32 - 1024),
+        ).astype(jnp.uint32)
     flips = (draws < threshold).astype(jnp.int32)
     mask = jnp.zeros(shape, dtype=jnp.int32)
     for b in range(n_bits):

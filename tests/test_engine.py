@@ -1,0 +1,230 @@
+"""ECC engine + block manager tests (mirrors reference tests/test_ecc_shim.py:
+allocation, incremental growth, multi-seq, reset, OOM, write/attend shapes,
+end-to-end error correction, interpolation temporal correctness, stats
+hygiene)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qkv_ecc_tpu.cache.block_manager import BlockManager
+from qkv_ecc_tpu.cache.engine import ECCEngine, ECCEngineConfig
+
+
+class TestBlockManager:
+    def test_basic_allocate(self):
+        m = BlockManager(num_blocks=8, block_size=16)
+        m.allocate(0, 20)  # 2 blocks
+        assert m.get_context_len(0) == 20
+        assert m.allocated_blocks == 2
+        assert m.num_free_blocks == 6
+        table = np.asarray(m.block_table())
+        assert (table[0, :2] >= 0).all() and table[0, 2] == -1
+
+    def test_incremental_growth_keeps_blocks(self):
+        m = BlockManager(num_blocks=8, block_size=16)
+        m.allocate(0, 10)
+        first = list(np.asarray(m.block_table())[0, :1])
+        m.allocate(0, 30)
+        table = np.asarray(m.block_table())
+        assert list(table[0, :1]) == first  # existing block kept
+        assert m.allocated_blocks == 2
+
+    def test_multi_seq_disjoint(self):
+        m = BlockManager(num_blocks=8, block_size=16)
+        m.allocate(0, 16)
+        m.allocate(1, 32)
+        t = np.asarray(m.block_table())
+        used = {int(t[0, 0]), int(t[1, 0]), int(t[1, 1])}
+        assert len(used) == 3
+
+    def test_out_of_blocks(self):
+        m = BlockManager(num_blocks=2, block_size=16)
+        with pytest.raises(RuntimeError, match="Out of blocks"):
+            m.allocate(0, 100)
+
+    def test_reset(self):
+        m = BlockManager(num_blocks=4, block_size=16)
+        m.allocate(0, 64)
+        m.reset()
+        assert m.num_free_blocks == 4
+        assert m.get_context_len(0) == 0
+        assert (np.asarray(m.block_table()) == -1).all()
+
+    def test_free_seq(self):
+        m = BlockManager(num_blocks=4, block_size=16)
+        m.allocate(0, 32)
+        m.free_seq(0)
+        assert m.num_free_blocks == 4
+
+    def test_physical_slots(self):
+        m = BlockManager(num_blocks=4, block_size=4)
+        m.allocate(0, 10)
+        phys, slots = m.physical_slots(0, np.arange(10))
+        assert list(slots) == [0, 1, 2, 3, 0, 1, 2, 3, 0, 1]
+        t = np.asarray(m.block_table())
+        assert list(phys[:4]) == [int(t[0, 0])] * 4
+
+
+def make_engine(codec="hamming84", ber=0.0, interp=False, seed=42, **kw):
+    cfg = ECCEngineConfig(
+        codec=codec,
+        ber=ber,
+        inject_errors=ber > 0,
+        seed=seed,
+        use_interpolation=interp,
+        num_blocks=32,
+        block_size=16,
+    )
+    return ECCEngine(cfg, num_layers=2, num_heads=4, num_kv_heads=2, head_dim=32, **kw)
+
+
+@pytest.fixture
+def kv(rng):
+    S = 24
+    k = jnp.asarray(rng.normal(size=(S, 2, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(S, 2, 32)).astype(np.float32))
+    return k, v
+
+
+class TestEngineWriteAttend:
+    @pytest.mark.parametrize("codec", ["fp16", "fp8", "int4", "hamming74", "hamming84", "golay"])
+    def test_prefill_roundtrip_close_to_exact(self, codec, kv, rng):
+        eng = make_engine(codec)
+        k, v = kv
+        eng.write(k, v, layer_idx=0)
+        q = jnp.asarray(rng.normal(size=(4, 24, 32)).astype(np.float32))
+        out = eng.attend(q, layer_idx=0)
+        assert out.shape == (4, 24, 32)
+        # exact attention on unquantized k/v as sanity anchor
+        kg = jnp.repeat(jnp.moveaxis(k, 1, 0), 2, axis=0)  # GQA expand [4,S,D]
+        vg = jnp.repeat(jnp.moveaxis(v, 1, 0), 2, axis=0)
+        s = jnp.einsum("hsd,htd->hst", q, kg) / np.sqrt(32)
+        mask = jnp.tril(jnp.ones((24, 24), bool))
+        s = jnp.where(mask[None], s, -1e30)
+        expect = jnp.einsum("hst,htd->hsd", jax.nn.softmax(s, -1), vg)
+        err = float(jnp.max(jnp.abs(out - expect)))
+        # fp16 nearly exact; quantized codecs within quantization error
+        assert err < (0.01 if codec == "fp16" else 0.35), f"{codec}: {err}"
+
+    def test_decode_step_uses_fused_and_matches_general(self, kv, rng):
+        eng = make_engine("hamming84")
+        k, v = kv
+        eng.write(k, v, layer_idx=1)
+        q1 = jnp.asarray(rng.normal(size=(4, 1, 32)).astype(np.float32))
+        out_fused = eng.attend(q1, layer_idx=1)
+        # force the general path via interpolation engine (same data, interp
+        # does nothing without double errors)
+        eng2 = make_engine("hamming84", interp=True)
+        eng2.write(k, v, layer_idx=1)
+        out_gen = eng2.attend(q1, layer_idx=1)
+        assert float(jnp.max(jnp.abs(out_fused - out_gen))) < 2e-4
+
+    def test_error_correction_end_to_end(self, kv, rng):
+        """With BER=1e-3 and hamming84, attention output stays close to the
+        clean-engine output and errors are counted (reference
+        test_ecc_shim.py:527)."""
+        k, v = kv
+        clean = make_engine("hamming84", ber=0.0)
+        noisy = make_engine("hamming84", ber=1e-3)
+        clean.write(k, v, layer_idx=0)
+        noisy.write(k, v, layer_idx=0)
+        assert noisy.stats["bits_flipped"] > 0
+        q = jnp.asarray(rng.normal(size=(4, 24, 32)).astype(np.float32))
+        out_c = clean.attend(q, layer_idx=0)
+        out_n = noisy.attend(q, layer_idx=0)
+        assert noisy.stats["errors_corrected"] > 0
+        # most flips are single-bit at this BER -> outputs nearly identical
+        assert float(jnp.mean(jnp.abs(out_c - out_n))) < 0.05
+
+    def test_golay_corrects_more_than_unprotected(self, kv, rng):
+        k, v = kv
+        q = jnp.asarray(rng.normal(size=(4, 24, 32)).astype(np.float32))
+        outs = {}
+        for codec in ("golay", "int4"):
+            clean = make_engine(codec, ber=0.0, seed=7)
+            noisy = make_engine(codec, ber=1e-2, seed=7)
+            clean.write(k, v, 0)
+            noisy.write(k, v, 0)
+            outs[codec] = (clean.attend(q, 0), noisy.attend(q, 0))
+        golay_err = float(jnp.mean(jnp.abs(outs["golay"][0] - outs["golay"][1])))
+        int4_err = float(jnp.mean(jnp.abs(outs["int4"][0] - outs["int4"][1])))
+        assert golay_err < int4_err / 3
+
+    def test_interpolation_reduces_double_error_damage(self, rng):
+        """Force double errors at high BER; interpolation should reduce the
+        deviation vs no interpolation (reference test_ecc_shim.py:625)."""
+        S = 32
+        # smooth K/V so temporal neighbors are informative
+        t = np.linspace(0, 1, S, dtype=np.float32)
+        base = np.stack([np.sin(4 * t + i) for i in range(2 * 32)], -1)
+        kv_smooth = jnp.asarray(base.reshape(S, 2, 32))
+        q = jnp.asarray(rng.normal(size=(4, S, 32)).astype(np.float32))
+        clean = make_engine("hamming84", ber=0.0, seed=3)
+        plain = make_engine("hamming84", ber=3e-2, seed=3)
+        interp = make_engine("hamming84", ber=3e-2, seed=3, interp=True)
+        for eng in (clean, plain, interp):
+            eng.write(kv_smooth, kv_smooth, 0)
+        assert interp.stats["bits_flipped"] == plain.stats["bits_flipped"]
+        out_c = clean.attend(q, 0)
+        err_plain = float(jnp.mean(jnp.abs(plain.attend(q, 0) - out_c)))
+        err_interp = float(jnp.mean(jnp.abs(interp.attend(q, 0) - out_c)))
+        assert interp.stats["errors_detected"] > 0
+        assert err_interp < err_plain
+
+    def test_incremental_decode_writes(self, kv, rng):
+        """Prefill then append tokens one at a time; attend sees them all."""
+        eng = make_engine("hamming84")
+        k, v = kv
+        eng.write(k[:16], v[:16], layer_idx=0)
+        for i in range(16, 24):
+            eng.write(k[i : i + 1], v[i : i + 1], 0, start_pos=i)
+        assert eng.manager.get_context_len(0) == 24
+        q1 = jnp.asarray(rng.normal(size=(4, 1, 32)).astype(np.float32))
+        out = eng.attend(q1, 0)
+        # compare against single-shot write
+        eng2 = make_engine("hamming84")
+        eng2.write(k, v, 0)
+        out2 = eng2.attend(q1, 0)
+        assert float(jnp.max(jnp.abs(out - out2))) < 1e-5
+
+    def test_empty_context_zeros(self, rng):
+        eng = make_engine("hamming84")
+        q = jnp.asarray(rng.normal(size=(4, 1, 32)).astype(np.float32))
+        out = eng.attend(q, 0)
+        assert float(jnp.max(jnp.abs(out))) == 0.0
+
+    def test_stats_reset_hygiene(self, kv):
+        eng = make_engine("hamming84", ber=1e-2)
+        k, v = kv
+        eng.write(k, v, 0)
+        assert eng.stats["total_values"] > 0
+        eng.reset()
+        s = eng.stats
+        assert s["total_values"] == 0 and s["bits_flipped"] == 0
+        assert s["injection_count"] == 0
+        assert eng.manager.num_free_blocks == 32
+
+    def test_determinism_same_seed(self, kv, rng):
+        k, v = kv
+        q = jnp.asarray(rng.normal(size=(4, 24, 32)).astype(np.float32))
+        outs = []
+        for _ in range(2):
+            eng = make_engine("hamming84", ber=1e-2, seed=99)
+            eng.write(k, v, 0)
+            outs.append(eng.attend(q, 0))
+        assert jnp.array_equal(outs[0], outs[1])
+
+    def test_unsupported_codec_raises(self):
+        with pytest.raises(ValueError, match="Unsupported codec"):
+            ECCEngineConfig(codec="bogus")
+
+    def test_total_values_accounting(self, kv):
+        eng = make_engine("int4")
+        k, v = kv
+        eng.write(k, v, 0)
+        eng.write(k, v, 1)
+        assert eng.stats["total_values"] == 2 * 2 * 24 * 2 * 32
+
+
+import jax  # noqa: E402  (used in assertions above)
