@@ -1,0 +1,215 @@
+"""KV-cache protection policy: the codec treatment applied to K/V tensors.
+
+This is the TPU-first replacement for the reference's per-layer
+write-then-read through the paged cache during prefill
+(kv_cache/ecc_shim.py:458-1089): writing S tokens and immediately decoding
+the same S tokens is mathematically a ROUNDTRIP through
+quantize -> encode -> inject -> decode -> (interpolate) -> dequantize, so the
+prefill/PPL path applies the codec chain directly to the K/V activations
+(XLA fuses the whole chain); the paged cache is only materialized when
+tokens must persist across steps (generation - see models/runtime.py).
+Error statistics are identical to the reference's attend-time accounting.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..codecs.algebra import GOLAY_B_ROW_MASKS
+from ..codecs.fault_injection import flip_mask_for
+from ..codecs.interpolation import interpolate_double_errors
+from ..codecs.reference import golay_decode, hamming74_decode, hamming84_decode
+from ..kernels.common import (
+    golay_encode_i32,
+    hamming74_encode_i32,
+    hamming84_encode_i32,
+)
+from ..cache.layout import pack_thirds
+
+_B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
+
+N_BITS = {"int4": 4, "hamming74": 7, "hamming84": 8, "golay": 24, "fp8": 8}
+
+
+@dataclasses.dataclass(frozen=True)
+class KVCachePolicy:
+    """Cache-mode policy (the reference's mode->codec single source of truth,
+    evaluation/constants.py:157)."""
+
+    codec: str = "fp16"
+    ber: float = 0.0
+    inject_errors: bool = False
+    seed: int = 42
+    use_interpolation: bool = False
+
+    def with_seed(self, seed: int) -> "KVCachePolicy":
+        return dataclasses.replace(self, seed=seed)
+
+
+# Mode name -> policy kwargs (reference evaluation/constants.py:157-165)
+MODE_CONFIG = {
+    "fp16": {"codec": "fp16", "use_interpolation": False},
+    "fp8": {"codec": "fp8", "use_interpolation": False},
+    "int4": {"codec": "int4", "use_interpolation": False},
+    "int4-hamming": {"codec": "hamming74", "use_interpolation": False},
+    "int4-hamming84": {"codec": "hamming84", "use_interpolation": False},
+    "int4-hamming84-interp": {"codec": "hamming84", "use_interpolation": True},
+    "int12-golay": {"codec": "golay", "use_interpolation": False},
+}
+
+
+def policy_for_mode(mode: str, ber: float = 0.0, seed: int = 42) -> KVCachePolicy:
+    if mode not in MODE_CONFIG:
+        raise ValueError(f"Unknown cache mode: {mode}. Valid: {list(MODE_CONFIG)}")
+    cfg = MODE_CONFIG[mode]
+    return KVCachePolicy(
+        codec=cfg["codec"],
+        ber=ber,
+        inject_errors=ber > 0,
+        seed=seed,
+        use_interpolation=cfg["use_interpolation"],
+    )
+
+
+def empty_stats():
+    return {
+        "errors_corrected": jnp.zeros((), jnp.int32),
+        "errors_detected": jnp.zeros((), jnp.int32),
+        "bits_flipped": jnp.zeros((), jnp.int32),
+        "total_values": jnp.zeros((), jnp.int32),
+    }
+
+
+def _quantize(x):
+    """Per-(position, head) symmetric INT4 (scale floor 1.0 on zero rows)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    q = jnp.clip(jnp.round(x / scale[..., None]), -8, 7) + 8
+    return q.astype(jnp.int32), scale
+
+
+def encode_kv(x, policy: KVCachePolicy, key):
+    """Quantize + encode + (inject) one K or V tensor [..., D].
+
+    Returns (codewords, scales, flips) where codewords are int32 (fp16/fp8:
+    the storage-typed values and scales=None), scales [...] float32.
+    """
+    codec = policy.codec
+    x = jnp.asarray(x, jnp.float32)
+    inject = policy.inject_errors and policy.ber > 0
+    flips = jnp.zeros((), jnp.int32)
+
+    if codec == "fp16":
+        return x.astype(jnp.bfloat16), None, flips
+    if codec == "fp8":
+        f8 = x.astype(jnp.float8_e4m3fn)
+        if inject:
+            raw = jax.lax.bitcast_convert_type(f8, jnp.uint8)
+            mask = flip_mask_for(key, raw.shape, policy.ber, 8).astype(jnp.uint8)
+            flips = jnp.sum(
+                jax.lax.population_count(mask.astype(jnp.int32)), dtype=jnp.int32
+            )
+            f8 = jax.lax.bitcast_convert_type(raw ^ mask, jnp.float8_e4m3fn)
+        return f8, None, flips
+
+    q, scale = _quantize(x)
+    head_dim = x.shape[-1]
+    if codec == "int4":
+        enc = q
+    elif codec == "hamming74":
+        enc = hamming74_encode_i32(q)
+    elif codec == "hamming84":
+        enc = hamming84_encode_i32(q)
+    elif codec == "golay":
+        pad = (-head_dim) % 3
+        qp = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pad)])
+        enc = golay_encode_i32(pack_thirds(qp), _B_MASKS)
+    else:
+        raise ValueError(f"Unknown codec: {codec}")
+
+    if inject:
+        mask = flip_mask_for(key, enc.shape, policy.ber, N_BITS[codec])
+        flips = jnp.sum(jax.lax.population_count(mask), dtype=jnp.int32)
+        enc = enc ^ mask
+    return enc, scale, flips
+
+
+def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int, seq_axis: int = 1):
+    """Decode + (interpolate) + dequantize. Inverse of encode_kv.
+
+    Returns (x float32 [..., head_dim], corrected, detected).
+    """
+    codec = policy.codec
+    zero = jnp.zeros((), jnp.int32)
+    if codec == "fp16" or codec == "fp8":
+        return enc.astype(jnp.float32), zero, zero
+
+    if codec == "int4":
+        dec = enc & 0xF
+        corrected = detected = zero
+    elif codec == "hamming74":
+        dec_u8, _, corrected = hamming74_decode(enc.astype(jnp.uint8))
+        detected = zero
+        dec = dec_u8.astype(jnp.int32)
+    elif codec == "hamming84":
+        dec_u8, et, corrected, detected = hamming84_decode(enc.astype(jnp.uint8))
+        if policy.use_interpolation:
+            dec_u8 = interpolate_double_errors(dec_u8, et, seq_dim=seq_axis)
+        dec = dec_u8.astype(jnp.int32)
+    elif codec == "golay":
+        trip, _cnt, corrected, detected = golay_decode(enc)
+        planes = jnp.concatenate(
+            [trip[..., 0], trip[..., 1], trip[..., 2]], axis=-1
+        ).astype(jnp.int32)
+        dec = planes[..., :head_dim]
+    else:
+        raise ValueError(f"Unknown codec: {codec}")
+
+    return (dec.astype(jnp.float32) - 8.0) * scale[..., None], corrected, detected
+
+
+def kv_roundtrip(x, policy: KVCachePolicy, key, *, seq_axis: int = 1):
+    """Apply the full codec chain to a K or V tensor [..., S, ..., D].
+
+    The roundtrip-equivalent of the reference's write-then-attend through the
+    paged cache (see module docstring).
+
+    Returns (x_processed float32, stats dict of int32 scalars).
+    """
+    stats = empty_stats()
+    x = jnp.asarray(x, jnp.float32)
+    stats["total_values"] = jnp.asarray(x.size, jnp.int32)
+    head_dim = x.shape[-1]
+    enc, scale, flips = encode_kv(x, policy, key)
+    stats["bits_flipped"] = flips
+    out, corrected, detected = decode_kv(
+        enc, scale, policy, head_dim=head_dim, seq_axis=seq_axis
+    )
+    stats["errors_corrected"] = corrected
+    stats["errors_detected"] = detected
+    return out, stats
+
+
+def process_kv(k, v, policy: KVCachePolicy, layer_idx: int, *, seq_axis: int = 1):
+    """Protect a (K, V) pair for one layer. Keys are derived from
+    (seed, layer, k/v) - deterministic, statistically independent streams
+    (the reference's seed-per-write contract, ecc_shim.py:24-28)."""
+    base = jax.random.key(policy.seed)
+    base = jax.random.fold_in(base, layer_idx)
+    k_key = jax.random.fold_in(base, 0)
+    v_key = jax.random.fold_in(base, 1)
+    k_out, k_stats = kv_roundtrip(k, policy, k_key, seq_axis=seq_axis)
+    v_out, v_stats = kv_roundtrip(v, policy, v_key, seq_axis=seq_axis)
+    stats = {key: k_stats[key] + v_stats[key] for key in k_stats}
+    return k_out, v_out, stats
+
+
+def merge_stats(acc, new):
+    if acc is None:
+        return dict(new)
+    return {k: acc[k] + new[k] for k in acc}

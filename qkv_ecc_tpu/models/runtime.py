@@ -1,0 +1,255 @@
+"""Generation runtime: jitted prefill + decode steps over a functional paged
+ECC cache.
+
+The whole decode step - every layer's projections, cache write
+(quantize+encode+inject+scatter), fused paged attention with inline ECC
+decode, MLP, and LM head - is ONE jitted function with donated cache buffers.
+Contrast with the reference, whose generate() re-prefilled the full prefix
+each step through Python loops (its ECCDummyCache never advanced
+`_seen_tokens`, kv_cache/ecc_shim.py:83-131, so HF generate re-sent the whole
+sequence every step).
+
+Block allocation here is static-sequential (sequence b owns pages
+[b*P, (b+1)*P)); dynamic vLLM-style allocation for serving lives in
+cache/block_manager.py + cache/engine.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
+from ..kernels.paged_attention import paged_attention_ecc
+from .config import ModelConfig
+from .kv_policy import KVCachePolicy, decode_kv, encode_kv
+from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
+
+FUSED_CODECS = ("int4", "hamming74", "hamming84", "golay")
+
+
+def init_generation_state(
+    cfg: ModelConfig,
+    policy: KVCachePolicy,
+    batch: int,
+    max_tokens: int,
+    block_size: int = 16,
+):
+    """Allocate the paged cache + static sequential block table."""
+    pages_per_seq = -(-max_tokens // block_size)
+    cache_cfg = ECCCacheConfig(
+        num_blocks=batch * pages_per_seq,
+        block_size=block_size,
+        num_layers=cfg.num_layers,
+        num_kv_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        codec=policy.codec,
+        max_seqs=batch,
+    )
+    state = allocate_ecc_kv_cache(cache_cfg)
+    state["context_len"] = jnp.zeros((batch,), jnp.int32)
+    block_table = np.arange(batch * pages_per_seq, dtype=np.int32).reshape(
+        batch, pages_per_seq
+    )
+    return state, jnp.asarray(block_table), cache_cfg
+
+
+def _layer_kv_key(policy: KVCachePolicy, layer_idx: int, step_key):
+    base = jax.random.fold_in(step_key, layer_idx)
+    return jax.random.fold_in(base, 0), jax.random.fold_in(base, 1)
+
+
+def _write_tokens(state, layer_idx, block_table, positions, kc, vc, ks, vs):
+    """Scatter S encoded tokens of every sequence into the paged cache.
+
+    kc/vc: [B, S, H, CW]; ks/vs: [B, S, H] or None; positions: [B, S].
+    """
+    bs = state["k_cache"].shape[3]
+    phys = jnp.take_along_axis(block_table, positions // bs, axis=1)  # [B, S]
+    slots = positions % bs
+    # scatter: cache[layer, phys[b,s], h, slot[b,s], :] = cw[b, s, h, :]
+    kc = kc.astype(state["k_cache"].dtype)
+    vc = vc.astype(state["v_cache"].dtype)
+    state["k_cache"] = state["k_cache"].at[layer_idx, phys, :, slots, :].set(kc)
+    state["v_cache"] = state["v_cache"].at[layer_idx, phys, :, slots, :].set(vc)
+    if ks is not None:
+        state["k_scales"] = state["k_scales"].at[layer_idx, phys, :, slots].set(ks)
+        state["v_scales"] = state["v_scales"].at[layer_idx, phys, :, slots].set(vs)
+    return state
+
+
+def _proj_qkv(x, lp, cfg: ModelConfig, positions, inv_freq):
+    B, S, E = x.shape
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    if cfg.arch == "gpt2":
+        h = layer_norm(x, lp["ln_1"]["g"], lp["ln_1"]["b"], cfg.layer_norm_eps)
+        qkv = h @ lp["c_attn"]["w"] + lp["c_attn"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, D)
+        k = k.reshape(B, S, Hkv, D)
+        v = v.reshape(B, S, Hkv, D)
+    else:
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        q = (h @ lp["q_proj"]).reshape(B, S, H, D)
+        k = (h @ lp["k_proj"]).reshape(B, S, Hkv, D)
+        v = (h @ lp["v_proj"]).reshape(B, S, Hkv, D)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+    return q, k, v
+
+
+def _attn_out_mlp(x, attn, lp, cfg: ModelConfig):
+    B, S = x.shape[:2]
+    attn = attn.reshape(B, S, cfg.num_heads * cfg.head_dim)
+    if cfg.arch == "gpt2":
+        x = x + attn @ lp["c_proj"]["w"] + lp["c_proj"]["b"]
+        h = layer_norm(x, lp["ln_2"]["g"], lp["ln_2"]["b"], cfg.layer_norm_eps)
+        h = jax.nn.gelu(h @ lp["c_fc"]["w"] + lp["c_fc"]["b"], approximate=True)
+        return x + h @ lp["mlp_proj"]["w"] + lp["mlp_proj"]["b"]
+    x = x + attn @ lp["o_proj"]
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+    h = jax.nn.silu(h @ lp["gate_proj"]) * (h @ lp["up_proj"])
+    return x + h @ lp["down_proj"]
+
+
+def _embed(params, input_ids, cfg: ModelConfig, positions):
+    if cfg.arch == "gpt2":
+        return params["wte"][input_ids] + params["wpe"][positions]
+    return params["embed"][input_ids].astype(jnp.dtype(cfg.dtype))
+
+
+def _lm_head(params, x, cfg: ModelConfig):
+    if cfg.arch == "gpt2":
+        x = layer_norm(x, params["ln_f"]["g"], params["ln_f"]["b"], cfg.layer_norm_eps)
+        return x @ params["wte"].T
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return (x @ head.astype(x.dtype)).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "policy"), donate_argnums=(2,)
+)
+def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVCachePolicy, step_key):
+    """Process the prompt: write the ECC cache and return last-token logits.
+
+    input_ids: [B, S]. Attention uses the encode->decode roundtrip (identical
+    values to what was just written).
+    """
+    B, S = input_ids.shape
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3)
+    x = _embed(params, input_ids, cfg, positions)
+    for i, lp in enumerate(params["layers"]):
+        q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
+        kk, vk = _layer_kv_key(policy, i, step_key)
+        kc, ks, _ = encode_kv(k, policy, kk)
+        vc, vs, _ = encode_kv(v, policy, vk)
+        state = _write_tokens(state, i, block_table, positions, kc, vc, ks, vs)
+        k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=cfg.head_dim, seq_axis=1)
+        v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=cfg.head_dim, seq_axis=1)
+        attn = causal_attention(
+            q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfg.num_kv_groups
+        )
+        x = _attn_out_mlp(x, attn, lp, cfg)
+    logits = _lm_head(params, x[:, -1:, :], cfg)[:, 0]
+    state["context_len"] = jnp.full((B,), S, jnp.int32)
+    return logits, state
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "policy", "block_size"), donate_argnums=(2,)
+)
+def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
+                policy: KVCachePolicy, step_key, block_size: int = 16):
+    """One incremental decode step: token_ids [B] -> logits [B, V].
+
+    Writes the new token's K/V through the codec into the paged cache, then
+    attends with the fused Pallas kernel (inline ECC decode).
+    """
+    B = token_ids.shape[0]
+    pos = state["context_len"]  # [B]
+    positions = pos[:, None]
+    inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3)
+    x = _embed(params, token_ids[:, None], cfg, positions)
+    for i, lp in enumerate(params["layers"]):
+        q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
+        kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
+        kc, ks, _ = encode_kv(k, policy, kk)
+        vc, vs, _ = encode_kv(v, policy, vk)
+        state = _write_tokens(state, i, block_table, positions, kc, vc, ks, vs)
+        attn = paged_attention_ecc(
+            q[:, 0],  # [B, Hq, D]
+            state["k_cache"],
+            state["v_cache"],
+            state["k_scales"],
+            state["v_scales"],
+            block_table,
+            pos + 1,
+            i,
+            codec=policy.codec,
+            block_size=block_size,
+        )
+        x = _attn_out_mlp(x, attn[:, None], lp, cfg)
+    logits = _lm_head(params, x, cfg)[:, 0]
+    state["context_len"] = pos + 1
+    return logits, state
+
+
+def generate(
+    params,
+    input_ids,
+    cfg: ModelConfig,
+    policy: KVCachePolicy,
+    max_new_tokens: int = 32,
+    block_size: int = 16,
+    temperature: float = 0.0,
+    seed: int = 0,
+):
+    """Greedy (temperature=0) or sampled generation.
+
+    input_ids: [B, S] numpy/jnp int array. Returns [B, S + max_new_tokens].
+    Requires policy.codec in FUSED_CODECS for the decode path (fp16/fp8
+    generation uses the engine's gather path; see cache/engine.py).
+    """
+    if policy.codec not in FUSED_CODECS:
+        raise NotImplementedError(
+            f"jitted generation supports {FUSED_CODECS}; use cache.engine for "
+            f"'{policy.codec}'"
+        )
+    input_ids = jnp.asarray(input_ids)
+    B, S = input_ids.shape
+    max_tokens = S + max_new_tokens
+    state, block_table, _ = init_generation_state(
+        cfg, policy, B, max_tokens, block_size
+    )
+    key = jax.random.key(policy.seed)
+    logits, state = prefill(
+        params, input_ids, state, block_table, cfg, policy, key
+    )
+    tokens = [input_ids]
+    sample_key = jax.random.key(seed)
+    for step in range(max_new_tokens):
+        if temperature > 0:
+            sample_key, sub = jax.random.split(sample_key)
+            next_tok = jax.random.categorical(sub, logits / temperature, axis=-1)
+        else:
+            next_tok = jnp.argmax(logits, axis=-1)
+        tokens.append(next_tok[:, None])
+        if step == max_new_tokens - 1:
+            break
+        logits, state = decode_step(
+            params,
+            next_tok,
+            state,
+            block_table,
+            cfg,
+            policy,
+            jax.random.fold_in(key, S + step),
+            block_size=block_size,
+        )
+    return jnp.concatenate(tokens, axis=1)

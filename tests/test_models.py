@@ -1,0 +1,205 @@
+"""Model tests: HF parity via weight conversion (random-weight HF models built
+offline from configs), cache-mode sweeps, and generation consistency.
+
+The HF-parity tests are this framework's replacement for the reference's
+"patch a real HF model" integration tests (test_ecc_shim.py:310): instead of
+monkey-patching, we convert weights and require logits parity with
+transformers' own forward.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qkv_ecc_tpu.models.config import ModelConfig, TINY_GPT2, TINY_LLAMA
+from qkv_ecc_tpu.models.kv_policy import KVCachePolicy, policy_for_mode
+from qkv_ecc_tpu.models.registry import cross_entropy, forward, init_params, loss_and_stats
+from qkv_ecc_tpu.models.runtime import generate
+
+transformers = pytest.importorskip("transformers")
+import torch  # noqa: E402
+
+
+def _hf_gpt2(cfg: ModelConfig):
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=cfg.vocab_size,
+        n_positions=cfg.max_position_embeddings,
+        n_embd=cfg.hidden_size,
+        n_layer=cfg.num_layers,
+        n_head=cfg.num_heads,
+        n_inner=cfg.intermediate_size,
+        activation_function="gelu_new",
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    return transformers.GPT2LMHeadModel(hf_cfg).eval()
+
+
+def _hf_llama(cfg: ModelConfig):
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        head_dim=cfg.head_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=cfg.tie_word_embeddings,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(0)
+    return transformers.LlamaForCausalLM(hf_cfg).eval()
+
+
+@pytest.fixture
+def ids(rng):
+    return rng.integers(0, 256, size=(2, 21))
+
+
+class TestHFParity:
+    def test_gpt2_logits_match_hf(self, ids):
+        from qkv_ecc_tpu.models.convert import convert_hf_model
+
+        hf = _hf_gpt2(TINY_GPT2)
+        params = convert_hf_model(hf, TINY_GPT2)
+        with torch.no_grad():
+            hf_logits = hf(torch.tensor(ids)).logits.numpy()
+        ours, _ = forward(
+            params, jnp.asarray(ids), TINY_GPT2, KVCachePolicy(codec="fp16")
+        )
+        # fp16 policy rounds K/V through bf16; compare loosely but verify
+        # ranking agreement exactly
+        assert np.abs(np.asarray(ours) - hf_logits).max() < 0.05
+        assert (np.asarray(ours).argmax(-1) == hf_logits.argmax(-1)).mean() > 0.99
+
+    def test_llama_logits_match_hf(self, ids):
+        from qkv_ecc_tpu.models.convert import convert_hf_model
+
+        cfg = TINY_LLAMA
+        hf = _hf_llama(cfg)
+        params = convert_hf_model(hf, cfg)
+        with torch.no_grad():
+            hf_logits = hf(torch.tensor(ids)).logits.numpy()
+        # float32 params for exact comparison
+        params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
+        cfg32 = ModelConfig(**{**cfg.__dict__, "dtype": "float32", "name": "t"})
+        ours, _ = forward(
+            params, jnp.asarray(ids), cfg32, KVCachePolicy(codec="fp16")
+        )
+        assert np.abs(np.asarray(ours) - hf_logits).max() < 0.05
+        assert (np.asarray(ours).argmax(-1) == hf_logits.argmax(-1)).mean() > 0.99
+
+    def test_hf_loss_parity(self, ids):
+        """Our CE with HF label semantics equals HF's reported loss."""
+        from qkv_ecc_tpu.models.convert import convert_hf_model
+
+        hf = _hf_gpt2(TINY_GPT2)
+        params = convert_hf_model(hf, TINY_GPT2)
+        t = torch.tensor(ids)
+        with torch.no_grad():
+            hf_loss = float(hf(t, labels=t).loss)
+        loss, count, _, _ = loss_and_stats(
+            params, jnp.asarray(ids), jnp.asarray(ids), TINY_GPT2,
+            KVCachePolicy(codec="fp16"),
+        )
+        assert abs(float(loss) - hf_loss) < 0.02
+        assert int(count) == ids.shape[0] * (ids.shape[1] - 1)
+
+
+class TestCacheModes:
+    @pytest.mark.parametrize(
+        "mode",
+        ["fp16", "fp8", "int4", "int4-hamming", "int4-hamming84",
+         "int4-hamming84-interp", "int12-golay"],
+    )
+    def test_all_modes_run(self, mode, ids):
+        params = init_params(TINY_LLAMA, 0)
+        pol = policy_for_mode(mode, ber=1e-2 if mode != "fp16" else 0.0)
+        loss, count, logits, stats = loss_and_stats(
+            params, jnp.asarray(ids), jnp.asarray(ids), TINY_LLAMA, pol
+        )
+        assert np.isfinite(float(loss))
+        if mode not in ("fp16", "fp8", "int4"):
+            assert int(stats["errors_corrected"]) > 0
+
+    def test_protected_loss_closer_to_clean_than_unprotected(self, rng):
+        """The core product claim at the model level: at BER 1e-2, golay's
+        loss delta vs BER=0 is far smaller than unprotected int4's."""
+        params = init_params(TINY_LLAMA, 1)
+        ids = jnp.asarray(rng.integers(0, 256, size=(4, 48)))
+
+        def loss_for(mode, ber):
+            pol = policy_for_mode(mode, ber=ber, seed=5)
+            loss, *_ = loss_and_stats(params, ids, ids, TINY_LLAMA, pol)
+            return float(loss)
+
+        base = loss_for("int12-golay", 0.0)
+        golay_delta = abs(loss_for("int12-golay", 1e-2) - base)
+        int4_delta = abs(loss_for("int4", 1e-2) - loss_for("int4", 0.0))
+        assert golay_delta < int4_delta / 2, (golay_delta, int4_delta)
+
+    def test_determinism_same_seed(self, ids):
+        params = init_params(TINY_GPT2, 0)
+        pol = policy_for_mode("int4-hamming84", ber=1e-2, seed=7)
+        a = loss_and_stats(params, jnp.asarray(ids), jnp.asarray(ids), TINY_GPT2, pol)
+        b = loss_and_stats(params, jnp.asarray(ids), jnp.asarray(ids), TINY_GPT2, pol)
+        assert float(a[0]) == float(b[0])
+        assert int(a[3]["bits_flipped"]) == int(b[3]["bits_flipped"])
+
+    def test_seed_changes_injection(self, ids):
+        params = init_params(TINY_GPT2, 0)
+        a = loss_and_stats(
+            params, jnp.asarray(ids), jnp.asarray(ids), TINY_GPT2,
+            policy_for_mode("int4-hamming84", ber=1e-2, seed=7),
+        )
+        b = loss_and_stats(
+            params, jnp.asarray(ids), jnp.asarray(ids), TINY_GPT2,
+            policy_for_mode("int4-hamming84", ber=1e-2, seed=8),
+        )
+        assert float(a[0]) != float(b[0])
+
+
+class TestGeneration:
+    @pytest.mark.parametrize("cfg", [TINY_GPT2, TINY_LLAMA], ids=lambda c: c.name)
+    def test_incremental_equals_teacher_forced(self, cfg, rng):
+        params = init_params(cfg, 0)
+        pol = policy_for_mode("int4-hamming84")
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 11)))
+        out = generate(params, ids, cfg, pol, max_new_tokens=5)
+        logits, _ = forward(params, out, cfg, pol)
+        greedy = jnp.argmax(logits[:, 10:-1], axis=-1)
+        assert bool(jnp.all(greedy == out[:, 11:]))
+
+    def test_generate_with_golay_errors_runs(self, rng):
+        params = init_params(TINY_LLAMA, 0)
+        pol = policy_for_mode("int12-golay", ber=1e-2)
+        ids = jnp.asarray(rng.integers(0, 256, (1, 8)))
+        out = generate(params, ids, TINY_LLAMA, pol, max_new_tokens=4)
+        assert out.shape == (1, 12)
+
+    def test_sampled_generation(self, rng):
+        params = init_params(TINY_GPT2, 0)
+        pol = policy_for_mode("int4")
+        ids = jnp.asarray(rng.integers(0, 256, (1, 8)))
+        out = generate(params, ids, TINY_GPT2, pol, max_new_tokens=4,
+                       temperature=1.0, seed=3)
+        assert out.shape == (1, 12)
+
+    def test_fp16_generation_not_supported_via_runtime(self, rng):
+        params = init_params(TINY_GPT2, 0)
+        with pytest.raises(NotImplementedError):
+            generate(params, jnp.zeros((1, 4), jnp.int32), TINY_GPT2,
+                     KVCachePolicy(codec="fp16"), max_new_tokens=2)
+
+
+class TestCrossEntropy:
+    def test_label_masking(self):
+        logits = jnp.zeros((1, 4, 8))
+        labels = jnp.asarray([[1, 2, -100, 3]])
+        total, count = cross_entropy(logits, labels)
+        assert int(count) == 2  # positions 1 and 3 predicted; -100 masked
+        assert np.isclose(float(total), 2 * np.log(8), atol=1e-5)
