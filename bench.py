@@ -1,0 +1,109 @@
+"""Headline benchmark: decode throughput with Golay-protected INT4 KV cache.
+
+Runs one-chip steady-state incremental decoding (the full jitted model step:
+projections, quantize+encode+inject cache write, fused paged attention with
+inline Golay decode, MLP, LM head) and compares against the identical model
+with an unprotected INT4 cache.
+
+Prints ONE JSON line:
+    metric      : decode tokens/sec/chip, Golay(24,12)-protected INT4 KV
+    value       : tokens/sec (batch * steps / wall)
+    vs_baseline : golay tokens/s / unprotected-int4 tokens/s on the same
+                  hardware. The reference's north-star target is ECC decode
+                  adding <10% decode-step latency vs unprotected INT4, i.e.
+                  vs_baseline >= 0.91; >1.0 means ECC decode is free.
+
+Config: llama-architecture ~0.9B (24 layers, hidden 2048, 16 heads / 8 KV
+heads @ head_dim 128), batch 8, context 1024+64. Random weights (no network
+in this environment) - throughput is weight-content-independent.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from qkv_ecc_tpu.models.config import ModelConfig
+    from qkv_ecc_tpu.models.kv_policy import policy_for_mode
+    from qkv_ecc_tpu.models.registry import init_params
+    from qkv_ecc_tpu.models.runtime import decode_step, init_generation_state, prefill
+
+    cfg = ModelConfig(
+        name="bench-0.9b",
+        arch="llama",
+        vocab_size=32768,
+        hidden_size=2048,
+        num_layers=24,
+        num_heads=16,
+        num_kv_heads=8,
+        head_dim=128,
+        intermediate_size=5632,
+        max_position_embeddings=4096,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        dtype="bfloat16",
+    )
+    batch, prompt_len, decode_tokens = 8, 1024, 64
+    print(
+        f"bench: {cfg.name} on {jax.devices()[0].device_kind}, "
+        f"batch={batch} ctx={prompt_len}+{decode_tokens}",
+        file=sys.stderr,
+    )
+
+    params = init_params(cfg, 0)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)))
+
+    def measure(mode):
+        policy = policy_for_mode(mode, ber=1e-2 if mode != "int4" else 1e-2, seed=42)
+        state, block_table, _ = init_generation_state(
+            cfg, policy, batch, prompt_len + decode_tokens + 8
+        )
+        key = jax.random.key(42)
+        t0 = time.time()
+        logits, state = prefill(params, ids, state, block_table, cfg, policy, key)
+        tok = jnp.argmax(logits, axis=-1)
+        logits, state = decode_step(params, tok, state, block_table, cfg, policy, key)
+        jax.block_until_ready(logits)
+        print(f"  {mode}: compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
+
+        t0 = time.perf_counter()
+        for step in range(decode_tokens):
+            logits, state = decode_step(
+                params, jnp.argmax(logits, axis=-1), state, block_table, cfg,
+                policy, jax.random.fold_in(key, step),
+            )
+        jax.block_until_ready(logits)
+        dt = time.perf_counter() - t0
+        tps = batch * decode_tokens / dt
+        print(
+            f"  {mode}: {tps:.1f} tok/s ({dt / decode_tokens * 1e3:.2f} ms/step)",
+            file=sys.stderr,
+        )
+        return tps
+
+    golay_tps = measure("int12-golay")
+    int4_tps = measure("int4")
+
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_golay_int4_kv_0.9b",
+                "value": round(golay_tps, 2),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(golay_tps / int4_tps, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

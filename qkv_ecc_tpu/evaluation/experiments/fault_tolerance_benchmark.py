@@ -1,0 +1,206 @@
+"""System-level fault-tolerance comparison: stock (unprotected) inference vs
+the ECC-protected engine under injected faults - throughput, per-token
+latency, memory, and PPL-vs-BER.
+
+TPU-native replacement of the reference's vLLM comparison
+(evaluation/experiments/fault_tolerance_benchmark.py): vLLM does not exist on
+TPU, so the baseline arm is a stock JAX decode path (bf16 / fp8 dense KV
+cache, no ECC) with the same fault-injection machinery; the protected arm is
+our paged ECC runtime. Covers the reference's three arms (clean baseline,
+corrupted-unprotected, corrupted-ECC) with the seed formula
+seed + layer_idx*10000 + count preserved by the policy key derivation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...models.kv_policy import KVCachePolicy, policy_for_mode
+from ...models.registry import init_params, loss_and_stats
+from ...models.runtime import decode_step, generate, init_generation_state, prefill
+from ..data import load_wikitext2_test, tokenize, pad_to_bucket
+from ..models import load_model
+from ..timing import time_fn
+
+
+@dataclasses.dataclass
+class FaultToleranceConfig:
+    model: str = "tiny-llama"
+    batch: int = 4
+    prompt_len: int = 32
+    decode_tokens: int = 32
+    ber_levels: List[float] = dataclasses.field(
+        default_factory=lambda: [0.0, 1e-3, 1e-2]
+    )
+    arms: List[str] = dataclasses.field(
+        default_factory=lambda: ["int4", "int12-golay", "int4-hamming84"]
+    )
+    seeds: List[int] = dataclasses.field(default_factory=lambda: [42])
+    max_samples: int = 4
+
+
+def benchmark_decode_throughput(
+    params, cfg, policy: KVCachePolicy, batch: int, prompt_len: int,
+    decode_tokens: int,
+) -> Dict:
+    """Steady-state decode throughput (tokens/s) and per-token latency."""
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)))
+    state, block_table, cache_cfg = init_generation_state(
+        cfg, policy, batch, prompt_len + decode_tokens + 8
+    )
+    key = jax.random.key(policy.seed)
+    logits, state = prefill(params, ids, state, block_table, cfg, policy, key)
+    tok = jnp.argmax(logits, axis=-1)
+
+    # warm the decode step
+    logits, state = decode_step(
+        params, tok, state, block_table, cfg, policy, key
+    )
+    jax.block_until_ready(logits)
+
+    t0 = time.perf_counter()
+    for step in range(decode_tokens):
+        logits, state = decode_step(
+            params, jnp.argmax(logits, axis=-1), state, block_table, cfg, policy,
+            jax.random.fold_in(key, step),
+        )
+    jax.block_until_ready(logits)
+    dt = time.perf_counter() - t0
+
+    cache_bytes = sum(
+        int(np.prod(v.shape)) * v.dtype.itemsize
+        for k, v in state.items()
+        if k != "context_len"
+    )
+    return {
+        "codec": policy.codec,
+        "ber": policy.ber,
+        "batch": batch,
+        "decode_tokens_per_sec": batch * decode_tokens / dt,
+        "ms_per_token": dt / decode_tokens * 1e3,
+        "cache_bytes": cache_bytes,
+        "cache_gb": cache_bytes / 1e9,
+    }
+
+
+def benchmark_ppl_vs_ber(
+    params, cfg, tokenizer, texts, arms: List[str], ber_levels: List[float],
+    seeds: List[int], max_length: int = 128,
+) -> List[Dict]:
+    """PPL per (arm, BER) - the reference's three-way PPL comparison
+    (fault_tolerance_benchmark.py:1362-1656)."""
+    import math
+
+    out = []
+    for arm in arms:
+        for ber in ber_levels:
+            ppls = []
+            for seed in seeds:
+                policy = policy_for_mode(arm, ber=ber, seed=seed)
+                total_loss, total_tokens = 0.0, 0
+                for text in texts:
+                    ids = tokenize(tokenizer, text, max_length)
+                    if ids.shape[1] < 2:
+                        continue
+                    padded, labels, L = pad_to_bucket(ids)
+                    loss, count, _, _ = loss_and_stats(
+                        params, jnp.asarray(padded), jnp.asarray(labels), cfg, policy
+                    )
+                    total_loss += float(loss) * L
+                    total_tokens += L
+                ppls.append(
+                    math.exp(total_loss / total_tokens) if total_tokens else float("inf")
+                )
+            out.append(
+                {
+                    "arm": arm,
+                    "ber": ber,
+                    "ppl_mean": sum(ppls) / len(ppls),
+                    "ppl_values": ppls,
+                }
+            )
+    return out
+
+
+def run_ber_sweep_comparison(config: FaultToleranceConfig | None = None, progress=print):
+    """Full system comparison (reference fault_tolerance_benchmark.py:1658)."""
+    config = config or FaultToleranceConfig()
+    params, cfg, tokenizer = load_model(config.model)
+    texts = load_wikitext2_test(max_samples=config.max_samples)
+
+    progress("== decode throughput ==")
+    throughput = []
+    for arm in config.arms:
+        policy = policy_for_mode(arm, ber=0.0, seed=42)
+        r = benchmark_decode_throughput(
+            params, cfg, policy, config.batch, config.prompt_len, config.decode_tokens
+        )
+        throughput.append(r)
+        progress(
+            f"  {arm:<18} {r['decode_tokens_per_sec']:8.1f} tok/s "
+            f"{r['ms_per_token']:6.2f} ms/tok cache {r['cache_gb']*1e3:.1f} MB"
+        )
+
+    progress("== PPL vs BER ==")
+    ppl = benchmark_ppl_vs_ber(
+        params, cfg, tokenizer, texts, config.arms, config.ber_levels, config.seeds
+    )
+    for r in ppl:
+        progress(f"  {r['arm']:<18} BER={r['ber']:<8.0e} PPL {r['ppl_mean']:.3f}")
+
+    base = next(
+        (t for t in throughput if t["codec"] == "int4"), throughput[0]
+    )
+    for t in throughput:
+        t["overhead_vs_unprotected"] = (
+            base["decode_tokens_per_sec"] / t["decode_tokens_per_sec"]
+        )
+    return {"throughput": throughput, "ppl_vs_ber": ppl}
+
+
+def format_report(results: Dict) -> str:
+    lines = ["THROUGHPUT", "-" * 70]
+    for t in results["throughput"]:
+        lines.append(
+            f"  {t['codec']:<14}{t['decode_tokens_per_sec']:>10.1f} tok/s"
+            f"{t['ms_per_token']:>9.2f} ms/tok"
+            f"{t['overhead_vs_unprotected']:>8.2f}x vs int4"
+            f"{t['cache_gb'] * 1e3:>9.1f} MB cache"
+        )
+    lines += ["", "PPL vs BER", "-" * 70]
+    for r in results["ppl_vs_ber"]:
+        lines.append(f"  {r['arm']:<18} BER={r['ber']:<10.0e} PPL {r['ppl_mean']:.3f}")
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="System fault-tolerance benchmark")
+    p.add_argument("--model", default="tiny-llama")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--decode-tokens", type=int, default=32)
+    p.add_argument("--output", default=None)
+    args = p.parse_args(argv)
+    results = run_ber_sweep_comparison(
+        FaultToleranceConfig(
+            model=args.model, batch=args.batch, decode_tokens=args.decode_tokens
+        )
+    )
+    print(format_report(results))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Phase-level timing instrumentation.
+
+Port of the reference's evaluation/timing.py (TimingStats / Aggregated
+TimingStats / TimingContext), with device timing via `block_until_ready`
+instead of CUDA events. Phases follow the codec pipeline:
+host_to_device / quantize / encode / decode / dequantize.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from contextlib import contextmanager
+from typing import Dict, List
+
+import jax
+
+PHASES = ("host_to_device", "quantize", "encode", "decode", "dequantize")
+
+
+@dataclasses.dataclass
+class TimingStats:
+    """Per-phase wall-clock nanoseconds for one trial."""
+
+    phase_ns: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {p: 0 for p in PHASES}
+    )
+    values_processed: int = 0
+
+    def add(self, phase: str, ns: int):
+        self.phase_ns[phase] = self.phase_ns.get(phase, 0) + ns
+
+    @property
+    def total_ns(self) -> int:
+        return sum(self.phase_ns.values())
+
+    @property
+    def total_ms(self) -> float:
+        return self.total_ns / 1e6
+
+    def phase_ms(self, phase: str) -> float:
+        return self.phase_ns.get(phase, 0) / 1e6
+
+    @property
+    def transfer_overhead_pct(self) -> float:
+        total = self.total_ns
+        return 100.0 * self.phase_ns.get("host_to_device", 0) / total if total else 0.0
+
+    @property
+    def throughput_mvalues_sec(self) -> float:
+        compute_ns = self.total_ns - self.phase_ns.get("host_to_device", 0)
+        if compute_ns <= 0:
+            return 0.0
+        return self.values_processed / (compute_ns / 1e9) / 1e6
+
+
+@dataclasses.dataclass
+class AggregatedTimingStats:
+    """Mean/std across trials per phase."""
+
+    trials: List[TimingStats] = dataclasses.field(default_factory=list)
+
+    def add(self, stats: TimingStats):
+        self.trials.append(stats)
+
+    def _vals(self, fn):
+        return [fn(t) for t in self.trials]
+
+    def mean_std(self, fn):
+        vals = self._vals(fn)
+        if not vals:
+            return 0.0, 0.0
+        m = sum(vals) / len(vals)
+        if len(vals) > 1:
+            s = (sum((v - m) ** 2 for v in vals) / (len(vals) - 1)) ** 0.5
+        else:
+            s = 0.0
+        return m, s
+
+    @property
+    def total_ms_mean(self):
+        return self.mean_std(lambda t: t.total_ms)[0]
+
+    @property
+    def total_ms_std(self):
+        return self.mean_std(lambda t: t.total_ms)[1]
+
+    @property
+    def throughput_mean(self):
+        return self.mean_std(lambda t: t.throughput_mvalues_sec)[0]
+
+    @property
+    def transfer_overhead_mean(self):
+        return self.mean_std(lambda t: t.transfer_overhead_pct)[0]
+
+    def phase_ms_mean(self, phase: str):
+        return self.mean_std(lambda t: t.phase_ms(phase))[0]
+
+
+class TimingContext:
+    """Context manager attributing a block to a phase; synchronizes the
+    device before and after so the interval is real device time."""
+
+    def __init__(self, stats: TimingStats, phase: str, sync_value=None):
+        self.stats = stats
+        self.phase = phase
+        self.sync_value = sync_value
+        self._t0 = 0
+
+    def __enter__(self):
+        if self.sync_value is not None:
+            jax.block_until_ready(self.sync_value)
+        self._t0 = time.perf_counter_ns()
+        return self
+
+    def __exit__(self, *exc):
+        self.stats.add(self.phase, time.perf_counter_ns() - self._t0)
+        return False
+
+
+@contextmanager
+def device_timer():
+    """Yields a dict whose 'ns' key holds the synchronized elapsed time."""
+    out = {"ns": 0}
+    t0 = time.perf_counter_ns()
+    yield out
+    out["ns"] = time.perf_counter_ns() - t0
+
+
+def run_warmup(fn, *args, iterations: int = 3):
+    """Compile + warm a jitted function (reference timing.py:242)."""
+    result = None
+    for _ in range(iterations):
+        result = fn(*args)
+    jax.block_until_ready(result)
+    return result
+
+
+def time_fn(fn, *args, iters: int = 10, warmup: int = 2):
+    """Median wall time of a jitted fn with block_until_ready fencing."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]

@@ -215,6 +215,12 @@ def inject_bit_errors_tpu(data, ber, n_bits, seed):
     n = data.size
     if n == 0 or ber <= 0:
         return data
+    if C.use_interpret():
+        # pltpu.prng_seed has no CPU lowering; use the portable threefry
+        # implementation off-TPU (same contract, different bit pattern).
+        from ..codecs.fault_injection import inject_bit_errors
+
+        return inject_bit_errors(data, ber, n_bits, seed=seed)
     threshold = min(int(float(ber) * (2.0**32)), 0xFFFFFFFF)
 
     cols = _LANES

@@ -1,0 +1,240 @@
+"""Tensor-parallel generation runtime: shard_map'ed prefill/decode over a
+(data, model) mesh with the ECC paged cache sharded on its kv-head axis.
+
+New TPU-native infrastructure (the reference is strictly single-GPU,
+SURVEY.md §2.9). Execution model per layer (Megatron TP):
+
+    x (replicated over model, batch-sharded over data)
+      -> column-sharded q/k/v projections  (local heads, NO collective)
+      -> RoPE + ECC encode -> local paged-cache write (kv-heads local)
+      -> fused Pallas paged attention on the LOCAL cache shard
+         (the ECC decode bit-twiddling never crosses ICI)
+      -> row-sharded o_proj -> psum over "model"
+      -> column-sharded gate/up -> row-sharded down -> psum over "model"
+
+So exactly two psums per layer ride the ICI, overlapped by XLA with the
+next layer's local compute; the fused dequant+ECC-decode+attention kernel is
+purely local. The LM head is vocab-sharded with a final all-gather.
+
+Supports the llama family (the multi-chip targets: Mistral-7B,
+LLaMA-3.1-8B). GPT-2 (124M) is a single-chip model; use models/runtime.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
+from ..kernels.paged_attention import paged_attention_ecc
+from ..models.config import ModelConfig
+from ..models.kv_policy import KVCachePolicy, decode_kv, encode_kv
+from ..models.layers import apply_rope, causal_attention, rms_norm, rope_frequencies
+from ..models.runtime import _write_tokens
+from .sharding import cache_specs, param_specs
+
+
+def _local_cfg(cfg: ModelConfig, tp: int) -> ModelConfig:
+    assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0, (
+        f"heads {cfg.num_heads}/{cfg.num_kv_heads} not divisible by tp={tp}"
+    )
+    return dataclasses.replace(
+        cfg,
+        num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+    )
+
+
+def _layer_kv_key(policy, layer_idx, step_key):
+    base = jax.random.fold_in(step_key, layer_idx)
+    return jax.random.fold_in(base, 0), jax.random.fold_in(base, 1)
+
+
+def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
+              state, block_table, *, write: bool, fused_attend: bool,
+              block_size: int, step_key):
+    """One transformer block on local shards; psums over 'model'."""
+    B, S, E = x.shape
+    H, Hkv, D = cfgl.num_heads, cfgl.num_kv_heads, cfgl.head_dim
+
+    h = rms_norm(x, lp["input_norm"], cfgl.rms_norm_eps)
+    q = (h @ lp["q_proj"]).reshape(B, S, H, D)
+    k = (h @ lp["k_proj"]).reshape(B, S, Hkv, D)
+    v = (h @ lp["v_proj"]).reshape(B, S, Hkv, D)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+
+    kk, vk = _layer_kv_key(policy, layer_idx, step_key)
+    # decorrelate injection across model shards
+    shard = jax.lax.axis_index("model")
+    kk = jax.random.fold_in(kk, shard)
+    vk = jax.random.fold_in(vk, shard)
+    kc, ks, _ = encode_kv(k, policy, kk)
+    vc, vs, _ = encode_kv(v, policy, vk)
+    if write:
+        state = _write_tokens(state, layer_idx, block_table, positions, kc, vc, ks, vs)
+
+    if fused_attend:
+        attn = paged_attention_ecc(
+            q[:, 0],
+            state["k_cache"],
+            state["v_cache"],
+            state["k_scales"],
+            state["v_scales"],
+            block_table,
+            state["context_len"] + 1,
+            layer_idx,
+            codec=policy.codec,
+            block_size=block_size,
+        )[:, None]
+    else:
+        k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=D, seq_axis=1)
+        v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=D, seq_axis=1)
+        attn = causal_attention(
+            q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfgl.num_kv_groups
+        )
+
+    attn = attn.reshape(B, S, H * D)
+    # row-sharded o_proj: partial sums -> psum over the model axis
+    attn_out = jax.lax.psum(attn @ lp["o_proj"], "model")
+    x = x + attn_out
+
+    h = rms_norm(x, lp["post_attn_norm"], cfgl.rms_norm_eps)
+    h = jax.nn.silu(h @ lp["gate_proj"]) * (h @ lp["up_proj"])
+    x = x + jax.lax.psum(h @ lp["down_proj"], "model")
+    return x, state
+
+
+def _lm_head_tp(params, x, cfgl: ModelConfig):
+    x = rms_norm(x, params["final_norm"], cfgl.rms_norm_eps)
+    if cfgl.tie_word_embeddings:
+        # embed replicated -> logits full on every shard
+        return (x @ params["embed"].T.astype(x.dtype)).astype(jnp.float32)
+    logits_local = (x @ params["lm_head"].astype(x.dtype)).astype(jnp.float32)
+    return jax.lax.all_gather(logits_local, "model", axis=-1, tiled=True)
+
+
+def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
+                      block_size: int = 16):
+    """Build (init_state, prefill, decode_step) closed over the mesh.
+
+    All three are pjit-compiled with NamedShardings; prefill/decode run under
+    shard_map with the two-psum-per-layer TP scheme.
+    """
+    if cfg.arch != "llama":
+        raise NotImplementedError("TP runtime supports the llama family")
+    tp = mesh.shape["model"]
+    dp = mesh.shape["data"]
+    cfgl = _local_cfg(cfg, tp)
+
+    pspecs = param_specs(cfg)
+    cspecs = cache_specs()
+    data_spec = P("data")
+
+    def init_state(batch: int, max_tokens: int):
+        pages = -(-max_tokens // block_size)
+        cache_cfg = ECCCacheConfig(
+            num_blocks=batch * pages,
+            block_size=block_size,
+            num_layers=cfg.num_layers,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            codec=policy.codec,
+            max_seqs=batch,
+        )
+        state = allocate_ecc_kv_cache(cache_cfg)
+        state["context_len"] = jnp.zeros((batch,), jnp.int32)
+        state = {
+            k: jax.device_put(v, NamedSharding(mesh, cspecs[k]))
+            for k, v in state.items()
+        }
+        bt = np.arange(batch * pages, dtype=np.int32).reshape(batch, pages)
+        block_table = jax.device_put(jnp.asarray(bt), NamedSharding(mesh, P("data")))
+        return state, block_table
+
+    inv_freq_fn = lambda: rope_frequencies(
+        cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3
+    )
+
+    local_cache_specs = {
+        k: cspecs[k] for k in ("k_cache", "v_cache", "k_scales", "v_scales")
+    }
+    state_specs = {**local_cache_specs, "context_len": P("data")}
+
+    def _prefill_shard(params, ids, state, block_table, key):
+        B, S = ids.shape
+        positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+        x = params["embed"][ids].astype(jnp.dtype(cfg.dtype))
+        inv_freq = inv_freq_fn()
+        for i, lp in enumerate(params["layers"]):
+            x, state = _block_tp(
+                x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
+                write=True, fused_attend=False, block_size=block_size,
+                step_key=key,
+            )
+        logits = _lm_head_tp(params, x[:, -1:, :], cfgl)[:, 0]
+        state["context_len"] = jnp.full((B,), S, jnp.int32)
+        return logits, state
+
+    def _decode_shard(params, tokens, state, block_table, key):
+        B = tokens.shape[0]
+        pos = state["context_len"]
+        positions = pos[:, None]
+        x = params["embed"][tokens[:, None]].astype(jnp.dtype(cfg.dtype))
+        inv_freq = inv_freq_fn()
+        for i, lp in enumerate(params["layers"]):
+            x, state = _block_tp(
+                x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
+                write=True, fused_attend=True, block_size=block_size,
+                step_key=key,
+            )
+        logits = _lm_head_tp(params, x, cfgl)[:, 0]
+        state["context_len"] = pos + 1
+        return logits, state
+
+    def _wrap(fn):
+        shard_fn = jax.shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(pspecs, data_spec, state_specs, P("data"), P()),
+            out_specs=(P("data"), state_specs),
+            check_vma=False,
+        )
+        return jax.jit(shard_fn, donate_argnums=(2,))
+
+    return init_state, _wrap(_prefill_shard), _wrap(_decode_shard)
+
+
+def generate_tp(
+    params, input_ids, cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
+    max_new_tokens: int = 16, block_size: int = 16,
+):
+    """Greedy TP generation across the mesh."""
+    from .sharding import shard_params
+
+    params = shard_params(params, cfg, mesh)
+    input_ids = jnp.asarray(input_ids)
+    B, S = input_ids.shape
+    init_state, prefill_fn, decode_fn = make_tp_functions(
+        cfg, policy, mesh, block_size
+    )
+    state, block_table = init_state(B, S + max_new_tokens)
+    key = jax.random.key(policy.seed)
+    ids_sharded = jax.device_put(input_ids, NamedSharding(mesh, P("data")))
+    logits, state = prefill_fn(params, ids_sharded, state, block_table, key)
+    tokens = [input_ids]
+    for step in range(max_new_tokens):
+        next_tok = jnp.argmax(logits, axis=-1)
+        tokens.append(np.asarray(next_tok)[:, None])
+        if step == max_new_tokens - 1:
+            break
+        logits, state = decode_fn(
+            params, next_tok, state, block_table, jax.random.fold_in(key, S + step)
+        )
+    return jnp.concatenate([jnp.asarray(t) for t in tokens], axis=1)

@@ -1,0 +1,117 @@
+"""Multi-device tests on the virtual 8-CPU mesh: TP parity with
+single-device execution, sharding specs, and the driver entry points."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qkv_ecc_tpu.models.config import TINY_LLAMA
+from qkv_ecc_tpu.models.kv_policy import policy_for_mode
+from qkv_ecc_tpu.models.registry import init_params
+from qkv_ecc_tpu.models.runtime import generate
+from qkv_ecc_tpu.parallel.mesh import create_mesh
+from qkv_ecc_tpu.parallel.sharding import cache_specs, param_specs, shard_params
+from qkv_ecc_tpu.parallel.tp_runtime import generate_tp, make_tp_functions
+
+CFG_TP = dataclasses.replace(
+    TINY_LLAMA, num_heads=8, num_kv_heads=4, name="tiny-llama-tp"
+)
+
+
+class TestMesh:
+    def test_create_mesh_shapes(self):
+        m = create_mesh(2, 4)
+        assert m.shape == {"data": 2, "model": 4}
+
+    def test_mesh_default_all_model(self):
+        m = create_mesh()
+        assert m.shape["model"] == len(jax.devices())
+
+    def test_bad_factorization_raises(self):
+        with pytest.raises(ValueError):
+            create_mesh(3, 3)
+
+
+class TestShardingSpecs:
+    def test_llama_specs_cover_params(self):
+        params = init_params(CFG_TP, 0)
+        specs = param_specs(CFG_TP)
+        # tree structures must match exactly
+        jax.tree.map(lambda a, b: None, params, specs)
+
+    def test_shard_params_places_on_mesh(self, mesh8):
+        params = init_params(CFG_TP, 0)
+        sharded = shard_params(params, CFG_TP, mesh8)
+        qp = sharded["layers"][0]["q_proj"]
+        # column-sharded over 4 model shards
+        assert qp.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+
+    def test_cache_specs_shard_kv_heads(self):
+        specs = cache_specs()
+        assert specs["k_cache"][2] == "model"
+
+
+class TestTPParity:
+    @pytest.mark.parametrize("mode", ["int4-hamming84", "int12-golay"])
+    def test_tp_generation_matches_single_device(self, mode, rng):
+        params = init_params(CFG_TP, 0)
+        pol = policy_for_mode(mode, ber=0.0)
+        ids = jnp.asarray(rng.integers(0, 256, (2, 9)))
+        mesh = create_mesh(2, 4)
+        out_tp = generate_tp(params, ids, CFG_TP, pol, mesh, max_new_tokens=5)
+        out_1d = generate(params, ids, CFG_TP, pol, max_new_tokens=5)
+        assert jnp.array_equal(out_tp, out_1d)
+
+    def test_tp_with_injection_runs(self, rng):
+        params = init_params(CFG_TP, 0)
+        pol = policy_for_mode("int12-golay", ber=1e-2)
+        ids = jnp.asarray(rng.integers(0, 256, (2, 8)))
+        mesh = create_mesh(1, 4)
+        out = generate_tp(params, ids, CFG_TP, pol, mesh, max_new_tokens=3)
+        assert out.shape == (2, 11)
+
+    def test_decode_state_context_advances(self, rng):
+        params = shard_params(init_params(CFG_TP, 0), CFG_TP, create_mesh(1, 4))
+        mesh = create_mesh(1, 4)
+        pol = policy_for_mode("int4-hamming84")
+        init_state, prefill_fn, decode_fn = make_tp_functions(CFG_TP, pol, mesh)
+        state, bt = init_state(2, 32)
+        ids = jnp.asarray(rng.integers(0, 256, (2, 8)))
+        logits, state = prefill_fn(params, ids, state, bt, jax.random.key(0))
+        assert int(state["context_len"][0]) == 8
+        logits, state = decode_fn(
+            params, jnp.argmax(logits, -1), state, bt, jax.random.key(1)
+        )
+        assert int(state["context_len"][0]) == 9
+        assert logits.shape == (2, 256)
+
+    def test_gpt2_not_supported(self):
+        from qkv_ecc_tpu.models.config import TINY_GPT2
+
+        with pytest.raises(NotImplementedError):
+            make_tp_functions(TINY_GPT2, policy_for_mode("int4"), create_mesh(1, 4))
+
+    def test_indivisible_heads_raises(self):
+        mesh = create_mesh(1, 8)  # 8 > 4 kv heads
+        with pytest.raises(AssertionError):
+            make_tp_functions(CFG_TP, policy_for_mode("int4"), mesh)
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import sys, os
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as ge
+
+        fn, args = ge.entry()
+        logits = jax.jit(fn)(*args)
+        assert logits.shape[0] == 2 and np.isfinite(np.asarray(logits)).all()
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
