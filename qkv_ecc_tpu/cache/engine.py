@@ -142,9 +142,9 @@ def _write_step(
         kc = (kc.astype(jnp.int32) ^ km).astype(kc.dtype)
         vc = (vc.astype(jnp.int32) ^ vm).astype(vc.dtype)
 
-    # scatter: cache[layer, phys[s], h, slot[s], :] = cw[s, h, :]
-    k_cache = k_cache.at[layer_idx, phys_blocks, :, slots, :].set(kc)
-    v_cache = v_cache.at[layer_idx, phys_blocks, :, slots, :].set(vc)
+    # scatter (token-minor layout): cache[layer, phys[s], h, :, slot[s]] = cw[s, h, :]
+    k_cache = k_cache.at[layer_idx, phys_blocks, :, :, slots].set(kc)
+    v_cache = v_cache.at[layer_idx, phys_blocks, :, :, slots].set(vc)
     k_scales = k_scales.at[layer_idx, phys_blocks, :, slots].set(ks)
     v_scales = v_scales.at[layer_idx, phys_blocks, :, slots].set(vs)
     return k_cache, v_cache, k_scales, v_scales, k_flips, v_flips
@@ -173,8 +173,8 @@ def _write_step_float(
         v_flips = jnp.sum(jax.lax.population_count(vm.astype(jnp.int32)), dtype=jnp.int32)
         kc = jax.lax.bitcast_convert_type(k_bytes ^ km, k_cache.dtype)
         vc = jax.lax.bitcast_convert_type(v_bytes ^ vm, v_cache.dtype)
-    k_cache = k_cache.at[layer_idx, phys_blocks, :, slots, :].set(kc)
-    v_cache = v_cache.at[layer_idx, phys_blocks, :, slots, :].set(vc)
+    k_cache = k_cache.at[layer_idx, phys_blocks, :, :, slots].set(kc)
+    v_cache = v_cache.at[layer_idx, phys_blocks, :, :, slots].set(vc)
     return k_cache, v_cache, k_flips, v_flips
 
 
@@ -207,13 +207,13 @@ def _attend_general(
     num_ctx is static (prefill processes a known-length text; the decode path
     uses the fused kernel instead), which lets the gather be exact-size.
     """
-    bs = k_cache.shape[3]
+    bs = k_cache.shape[4]
     n_pages = -(-num_ctx // bs)
     table = jnp.maximum(block_table_row[:n_pages], 0)
 
     def gather(cache):
-        g = cache[layer_idx][table]  # [pages, H, bs, cw]
-        g = jnp.moveaxis(g, 1, 2).reshape(n_pages * bs, g.shape[1], -1)
+        g = cache[layer_idx][table]  # [pages, H, cw, bs] (token-minor)
+        g = jnp.transpose(g, (0, 3, 1, 2)).reshape(n_pages * bs, g.shape[1], -1)
         return g[:num_ctx]  # [T, H, cw]
 
     k_raw = gather(k_cache)
@@ -272,7 +272,7 @@ def _attend_general(
 
     def gather_scales(scales):
         g = scales[layer_idx][table]  # [pages, H, bs]
-        g = jnp.moveaxis(g, 1, 2).reshape(n_pages * bs, -1)
+        g = jnp.transpose(g, (0, 2, 1)).reshape(n_pages * bs, -1)
         return g[:num_ctx]  # [T, H]
 
     if codec not in ("fp16", "fp8"):

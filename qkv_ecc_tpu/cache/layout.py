@@ -3,12 +3,17 @@
 TPU-native redesign of the reference's memory layout
 (kv_cache/memory_layout.py). Differences, by design:
 
-  * Per-layer cache arrays shaped [num_blocks, num_kv_heads, block_size, CW]
-    (the reference used [blocks, layers, heads, flat]); keeping block_size and
-    head_dim as separate trailing dims makes each (block, head) tile a
-    [block_size, head_dim] VMEM tile for the fused attention kernel, and the
-    layer dimension is stacked on axis 0 of a single array per cache so one
-    dynamic-slice selects a layer under jit.
+  * Per-layer cache arrays shaped [num_blocks, num_kv_heads, CW, block_size]
+    - TOKENS ON THE MINOR DIMENSION (the reference used [blocks, layers,
+    heads, flat] with tokens major). Three reasons, all TPU-hardware driven:
+    (a) Mosaic requires the minor dim of HBM slices to be 128-lane aligned,
+    so a block_size of 128 makes every (block, head) page directly DMA-able
+    regardless of the codec's codeword count (Golay's 43 int32 codewords per
+    row could never satisfy lane alignment as a minor dim); (b) the decoded
+    page IS K-transposed [head_dim, tokens], exactly the RHS the QK^T matmul
+    wants - no in-kernel transpose; (c) per-token scales broadcast along
+    sublanes for free. The layer dimension is stacked on axis 0 of a single
+    array per cache so one dynamic-slice selects a layer under jit.
   * Golay packing is THIRD-PARTITIONED, not adjacent-triplet: codeword j of a
     head-dim row protects values (j, j + CW, j + 2*CW). Decoding a block then
     yields three contiguous [block_size, CW] nibble planes that concatenate
@@ -122,13 +127,15 @@ class ECCCacheConfig:
         return self.num_blocks * self.block_size
 
     def cache_shape(self):
-        """Shape of one of k_cache / v_cache (all layers stacked)."""
+        """Shape of one of k_cache / v_cache (all layers stacked).
+
+        Tokens (block_size) are the minor dim - see module docstring."""
         return (
             self.num_layers,
             self.num_blocks,
             self.num_kv_heads,
-            self.block_size,
             self.row_codewords,
+            self.block_size,
         )
 
     def scales_shape(self):

@@ -8,19 +8,29 @@ decoder), dequantizes, and accumulates an online softmax - decoded K/V are
 never materialized in HBM.
 
 Key differences from the reference (deliberate, TPU-first):
-  * Grid = (batch, kv_head, page) with the block table as a scalar-prefetch
-    argument: the page->physical-block indirection happens in the BlockSpec
-    index_map, so Pallas's pipeline machinery double-buffers the HBM->VMEM
-    page DMAs automatically (the reference hand-rolled a per-token pointer
-    loop, attention_ecc.py:346-421).
-  * GQA is native: each grid step attends all `q_heads_per_kv` query heads of
-    one KV head against the shared page (the reference materialized K/V per
-    query head via repeat_interleave in its Python path).
+  * Token-minor page layout [heads, codewords, block_size]: the minor dim of
+    every HBM page slice is the 128-token block, so pages are DMA-able for
+    ANY codec codeword count (Mosaic requires 128-lane-aligned minor dims),
+    and the decoded page arrives as K^T [head_dim, tokens] - exactly the RHS
+    layout the QK^T matmul wants. Per-token scales broadcast along sublanes.
+  * Grid = (batch, chunk) where one chunk is `pages_per_chunk` KV pages of
+    ALL KV heads. The kernel hand-issues the HBM->VMEM page DMAs (block-table
+    indirection on the scalar core) into a double-buffered VMEM scratch, so
+    chunk c+1 streams in while chunk c is decoded and accumulated. The
+    reference hand-rolled a per-token pointer loop instead
+    (attention_ecc.py:346-421); a per-page Pallas BlockSpec pipeline was
+    measured ~8x slower than manual chunked DMA (tiny 2KB tiles stall the
+    DMA engine).
+  * GQA is native: each chunk step attends all query heads against the
+    shared pages (the reference materialized K/V per query head via
+    repeat_interleave in its Python path).
   * Golay IS fused: the arithmetic IMLD decoder replaces the 4096-entry
     syndrome LUT, which is what kept Golay out of the reference's fused
-    kernel (attention_ecc.py:759-775 falls back to Python).
+    kernel (attention_ecc.py:759-775 falls back to Python). With the
+    token-minor layout the three decoded nibble planes concatenate along
+    SUBLANES (vreg stacking), not lanes - no shift network.
   * Online softmax state lives in VMEM scratch that persists across the
-    sequential page dimension of the grid (flash-decoding style).
+    sequential chunk dimension of the grid (flash-decoding style).
 
 Supported codecs: int4 (unprotected), hamming74, hamming84, golay. Like the
 reference's inline decoders, hamming84 PRESERVES double-error data
@@ -44,9 +54,9 @@ _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 _NEG_INF = -1e30
 
 
-def _decode_block(codec: str, raw, head_dim: int):
-    """Decode one [block_size, row_codewords] tile -> int32 nibbles
-    [block_size, head_dim]."""
+def _decode_tile_t(codec: str, raw, head_dim: int):
+    """Decode a token-minor [..., row_codewords, block_size] tile of raw
+    codewords -> int32 nibbles [..., head_dim, block_size] (i.e. K^T)."""
     x = raw.astype(jnp.int32)
     if codec == "int4":
         return x & 0xF
@@ -58,13 +68,42 @@ def _decode_block(codec: str, raw, head_dim: int):
         return data
     if codec == "golay":
         data12, _ = C.golay_decode_i32(x, _B_MASKS, zero_uncorrectable=True)
-        # third-partitioned packing: three contiguous nibble planes
+        # third-partitioned packing: three nibble planes, stacked along the
+        # codeword (sublane) dim -> [..., 3*CW, bs]
         planes = jnp.concatenate(
             [(data12 >> 0) & 0xF, (data12 >> 4) & 0xF, (data12 >> 8) & 0xF],
-            axis=-1,
+            axis=-2,
         )
-        return planes[:, :head_dim]
+        return planes[..., :head_dim, :]
     raise ValueError(f"fused kernel does not support codec '{codec}'")
+
+
+class _ChunkCopy:
+    """Async HBM->VMEM copy of one chunk (pages_per_chunk pages, all KV
+    heads, K+V+scales) through a shared DMA semaphore. Mirrors the JAX
+    paged_attention MultiPageAsyncCopyDescriptor pattern: descriptors are
+    reconstructed identically at issue and wait sites."""
+
+    def __init__(self, refs, bufs, sem, block_tables_ref, b, layer, chunk,
+                 slot, pages_per_chunk, max_pages):
+        self._copies = []
+        for i in range(pages_per_chunk):
+            pidx = jnp.minimum(chunk * pages_per_chunk + i, max_pages - 1)
+            phys = jnp.maximum(block_tables_ref[b, pidx], 0)
+            for hbm, buf in zip(refs, bufs):
+                self._copies.append(
+                    pltpu.make_async_copy(
+                        hbm.at[layer, phys], buf.at[slot, i], sem
+                    )
+                )
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait(self):
+        for c in self._copies:
+            c.wait()
 
 
 def _paged_attn_kernel(
@@ -72,91 +111,200 @@ def _paged_attn_kernel(
     layer_ref,
     block_tables_ref,
     context_lens_ref,
-    # VMEM inputs
-    q_ref,
-    k_ref,
-    v_ref,
-    ks_ref,
-    vs_ref,
-    # outputs
-    out_ref,
-    # scratch
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    # VMEM/HBM inputs + outputs + scratch (layout depends on fused_write)
+    *refs,
     codec: str,
     block_size: int,
     head_dim: int,
     sm_scale: float,
-    num_pages: int,
+    pages_per_chunk: int,
+    num_chunks: int,
+    max_pages: int,
+    num_kv_heads: int,
+    group: int,
+    precision: str,
+    fused_write: bool,
 ):
-    b = pl.program_id(0)
-    p = pl.program_id(2)
-    ctx = context_lens_ref[b]
+    if fused_write:
+        (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
+         k_hbm, v_hbm, ks_hbm, vs_hbm,
+         out_ref, ko_ref, vo_ref, kso_ref, vso_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sem, wsem,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
+         k_buf, v_buf, ks_buf, vs_buf, sem,
+         m_scr, l_scr, acc_scr) = refs
 
-    @pl.when(p == 0)
-    def _init():
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    layer = layer_ref[0]
+    ctx = context_lens_ref[b]
+    bs = block_size
+    tokens_per_chunk = pages_per_chunk * bs
+
+    def chunk_copy(chunk, slot):
+        return _ChunkCopy(
+            (k_hbm, v_hbm, ks_hbm, vs_hbm),
+            (k_buf, v_buf, ks_buf, vs_buf),
+            sem,
+            block_tables_ref,
+            b,
+            layer,
+            chunk,
+            slot,
+            pages_per_chunk,
+            max_pages,
+        )
+
+    @pl.when(c == 0)
+    def _warmup():
+        chunk_copy(0, 0).start()
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    page_start = p * block_size
+    @pl.when(((c + 1) < num_chunks) & ((c + 1) * tokens_per_chunk < ctx))
+    def _issue_next():
+        chunk_copy(c + 1, (c + 1) % 2).start()
 
-    @pl.when(page_start < ctx)
+    exact = precision == "highest"
+    op_t = jnp.float32 if exact else jnp.bfloat16
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+
+    @pl.when(c * tokens_per_chunk < ctx)
     def _process():
-        k_nib = _decode_block(codec, k_ref[:], head_dim)  # [bs, D]
-        v_nib = _decode_block(codec, v_ref[:], head_dim)
+        slot = c % 2
+        chunk_copy(c, slot).wait()
 
-        k_scale = ks_ref[:].astype(jnp.float32)  # [bs, 1]
-        v_scale = vs_ref[:].astype(jnp.float32)
-        k = (k_nib.astype(jnp.float32) - 8.0) * k_scale
-        v = (v_nib.astype(jnp.float32) - 8.0) * v_scale
+        if fused_write:
+            # Overlay the new token's codeword column into the page we just
+            # staged in VMEM, then DMA the whole page back to the (aliased)
+            # HBM cache. The caches are thus ONLY ever touched by this
+            # kernel during decode - XLA never copies them (a scatter-then-
+            # custom-call chain made XLA materialize a full cache copy per
+            # layer, ~6x the whole step's useful HBM traffic).
+            tok_idx = ctx - 1
+            tok_page = tok_idx // bs
+            tok_lane = tok_idx % bs
+            i_in_chunk = tok_page - c * pages_per_chunk
 
-        q = q_ref[:].astype(jnp.float32)  # [group, D]
-        s = (
-            jax.lax.dot_general(
-                q,
-                k,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            * sm_scale
-        )  # [group, bs]
+            @pl.when((tok_page >= c * pages_per_chunk)
+                     & (tok_page < (c + 1) * pages_per_chunk))
+            def _write_token():
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+                is_tok = lane == tok_lane  # [1, bs]
+                for i in range(pages_per_chunk):
 
-        token_ids = page_start + jax.lax.broadcasted_iota(
-            jnp.int32, s.shape, dimension=1
-        )
-        s = jnp.where(token_ids < ctx, s, _NEG_INF)
+                    @pl.when(i_in_chunk == i)
+                    def _overlay():
+                        for h in range(num_kv_heads):
+                            # i32 roundtrip: Mosaic only supports minor-dim
+                            # insertion on 32-bit types (uint8 caches)
+                            kcol = kn_ref[h].astype(jnp.int32)[:, None]
+                            vcol = vn_ref[h].astype(jnp.int32)[:, None]
+                            kpg = k_buf[slot, i, h].astype(jnp.int32)
+                            vpg = v_buf[slot, i, h].astype(jnp.int32)
+                            k_buf[slot, i, h] = jnp.where(
+                                is_tok, kcol, kpg
+                            ).astype(k_buf.dtype)
+                            v_buf[slot, i, h] = jnp.where(
+                                is_tok, vcol, vpg
+                            ).astype(v_buf.dtype)
+                        ks_buf[slot, i] = jnp.where(
+                            is_tok, ksn_ref[0][:, None], ks_buf[slot, i]
+                        )
+                        vs_buf[slot, i] = jnp.where(
+                            is_tok, vsn_ref[0][:, None], vs_buf[slot, i]
+                        )
+                        phys = jnp.maximum(
+                            block_tables_ref[b, tok_page], 0
+                        )
+                        wb = [
+                            pltpu.make_async_copy(
+                                buf.at[slot, i], out.at[layer, phys], wsem
+                            )
+                            for buf, out in (
+                                (k_buf, ko_ref),
+                                (v_buf, vo_ref),
+                                (ks_buf, kso_ref),
+                                (vs_buf, vso_ref),
+                            )
+                        ]
+                        for w in wb:
+                            w.start()
+                        for w in wb:
+                            w.wait()
 
-        m_prev = m_scr[:, :1]  # [group, 1]
-        l_prev = l_scr[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p_ij = jnp.exp(s - m_new)
-        l_new = l_prev * alpha + jnp.sum(p_ij, axis=1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p_ij,
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        for h in range(num_kv_heads):
+            # Nibbles (0..15 minus zero point) are EXACT in bf16, so the
+            # fast path runs both matmuls on bf16 operands (1 MXU pass vs 6
+            # for f32 HIGHEST) and folds the per-token dequant scales in
+            # AFTER the QK^T dot / BEFORE the PV dot, where they touch
+            # [group, bs] score tiles instead of [head_dim, bs] pages.
+            q = q_ref[h].astype(op_t)  # [group, D]
+            r0, r1 = h * group, (h + 1) * group
+            for i in range(pages_per_chunk):
+                page_start = (c * pages_per_chunk + i) * bs
+                kt_nib = _decode_tile_t(
+                    codec, k_buf[slot, i, h], head_dim
+                )  # [D, bs] i32
+                vt_nib = _decode_tile_t(codec, v_buf[slot, i, h], head_dim)
+                ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
+                vs = vs_buf[slot, i, h].astype(jnp.float32)
+                kt = (kt_nib - 8).astype(op_t)
+                vt = vt_nib.astype(op_t)  # zero point folded in post-dot
 
-    @pl.when(p == num_pages - 1)
+                s_raw = jax.lax.dot_general(
+                    q,
+                    kt,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
+                )  # [group, bs]
+                s = s_raw * (ks * sm_scale)[None, :]
+                token_ids = page_start + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, dimension=1
+                )
+                s = jnp.where(token_ids < ctx, s, _NEG_INF)
+
+                m_prev = m_scr[r0:r1, :1]  # [group, 1]
+                l_prev = l_scr[r0:r1, :1]
+                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+                alpha = jnp.exp(m_prev - m_new)
+                p_ij = jnp.exp(s - m_new)
+                l_new = l_prev * alpha + jnp.sum(p_ij, axis=1, keepdims=True)
+                # fold the V dequant scale into the softmax weights, then
+                # contract tokens: p [group, bs] x vt [D, bs] -> [group, D].
+                # The -8 zero point becomes a rank-1 correction.
+                pv = p_ij * vs[None, :]
+                pv_sum = jnp.sum(pv, axis=1, keepdims=True)  # [group, 1]
+                acc_scr[r0:r1] = (
+                    acc_scr[r0:r1] * alpha
+                    + jax.lax.dot_general(
+                        pv.astype(op_t),
+                        vt,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+                    - 8.0 * pv_sum
+                )
+                m_scr[r0:r1] = jnp.broadcast_to(m_new, (group, m_scr.shape[1]))
+                l_scr[r0:r1] = jnp.broadcast_to(l_new, (group, l_scr.shape[1]))
+
+    @pl.when(c == num_chunks - 1)
     def _finalize():
         l_fin = l_scr[:, :1]
         safe_l = jnp.where(l_fin > 0, l_fin, 1.0)
         out = jnp.where(l_fin > 0, acc_scr[:] / safe_l, 0.0)
-        out_ref[:] = out.astype(out_ref.dtype)
+        out_ref[:] = out.reshape(out_ref.shape).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("codec", "block_size", "num_pages", "sm_scale"),
+    static_argnames=("codec", "block_size", "num_pages", "sm_scale",
+                     "pages_per_chunk", "precision"),
 )
 def paged_attention_ecc(
     query,
@@ -172,72 +320,85 @@ def paged_attention_ecc(
     block_size: int = 16,
     num_pages: int | None = None,
     sm_scale: float | None = None,
+    pages_per_chunk: int | None = None,
+    precision: str = "fast",
 ):
     """Decode-phase fused paged attention with inline ECC decode.
 
     Args:
         query: [batch, num_q_heads, head_dim] (one decode token per sequence).
-        k_cache/v_cache: [num_layers, num_blocks, num_kv_heads, block_size,
-            row_codewords] (uint8 for int4/hamming, int32 for golay).
+        k_cache/v_cache: [num_layers, num_blocks, num_kv_heads,
+            row_codewords, block_size] - token-minor pages (uint8 for
+            int4/hamming, int32 for golay).
         k_scales/v_scales: [num_layers, num_blocks, num_kv_heads, block_size].
         block_table: int32 [batch, max_blocks] (-1 for unallocated).
         context_lens: int32 [batch].
         layer_idx: which layer of the stacked cache to attend over.
         codec: int4 | hamming74 | hamming84 | golay.
         num_pages: static page-loop bound (default: block_table.shape[1]).
+        pages_per_chunk: KV pages DMA'd per grid step (default: ~256 tokens).
+        precision: "fast" = bf16 matmul operands (nibbles are exact; only
+            the query and softmax weights round, ~2^-8 relative), "highest"
+            = 6-pass f32 for bit-for-bit verification runs.
 
     Returns:
         [batch, num_q_heads, head_dim] attention output (query dtype).
+
+    On real TPUs block_size must be a multiple of 128 (the HBM page slice's
+    minor dim must be lane-aligned); the CPU interpreter accepts any size.
     """
     batch, num_q_heads, head_dim = query.shape
-    _, num_blocks, num_kv_heads, bs, row_cw = k_cache.shape
+    _, num_blocks, num_kv_heads, row_cw, bs = k_cache.shape
     assert bs == block_size, (bs, block_size)
     group = num_q_heads // num_kv_heads
     assert group * num_kv_heads == num_q_heads
+    if not C.use_interpret() and block_size % 128 != 0:
+        raise ValueError(
+            f"TPU paged attention requires block_size % 128 == 0, got "
+            f"{block_size} (token-minor pages must be lane-aligned)"
+        )
 
     if num_pages is None:
         num_pages = block_table.shape[1]
     if sm_scale is None:
         sm_scale = float(head_dim) ** -0.5
+    if pages_per_chunk is None:
+        pages_per_chunk = max(1, 256 // block_size)
 
-    def q_map(b, h, p, layer, bt, cl):
-        return (b, h, 0, 0)
+    cp = min(pages_per_chunk, num_pages)
+    num_chunks = C.cdiv(num_pages, cp)
 
-    def kv_map(b, h, p, layer, bt, cl):
-        phys = jnp.maximum(bt[b, p], 0)
-        return (layer[0], phys, h, 0, 0)
-
-    def scale_map(b, h, p, layer, bt, cl):
-        phys = jnp.maximum(bt[b, p], 0)
-        return (layer[0], phys, h, 0, 0)
+    def q_map(b, c, layer, bt, cl):
+        return (b, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(batch, num_kv_heads, num_pages),
+        grid=(batch, num_chunks),
         in_specs=[
             pl.BlockSpec(
-                (None, None, group, head_dim), q_map, memory_space=pltpu.VMEM
+                (None, num_kv_heads, group, head_dim),
+                q_map,
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (None, None, None, bs, row_cw), kv_map, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (None, None, None, bs, row_cw), kv_map, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (None, None, None, bs, 1), scale_map, memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (None, None, None, bs, 1), scale_map, memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(
-            (None, None, group, head_dim), q_map, memory_space=pltpu.VMEM
+            (None, num_kv_heads, group, head_dim),
+            q_map,
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((group, 128), jnp.float32),
-            pltpu.VMEM((group, 128), jnp.float32),
-            pltpu.VMEM((group, head_dim), jnp.float32),
+            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, bs), k_scales.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, bs), v_scales.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((num_q_heads, 128), jnp.float32),
+            pltpu.VMEM((num_q_heads, 128), jnp.float32),
+            pltpu.VMEM((num_q_heads, head_dim), jnp.float32),
         ],
     )
 
@@ -247,7 +408,13 @@ def paged_attention_ecc(
         block_size=block_size,
         head_dim=head_dim,
         sm_scale=float(sm_scale),
-        num_pages=num_pages,
+        pages_per_chunk=cp,
+        num_chunks=num_chunks,
+        max_pages=num_pages,
+        num_kv_heads=num_kv_heads,
+        group=group,
+        precision=precision,
+        fused_write=False,
     )
 
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
@@ -263,10 +430,195 @@ def paged_attention_ecc(
         q4,
         k_cache,
         v_cache,
-        k_scales[..., None],
-        v_scales[..., None],
+        k_scales,
+        v_scales,
     )
     return out.reshape(batch, num_q_heads, head_dim)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("codec", "block_size", "num_pages", "sm_scale",
+                     "pages_per_chunk", "precision"),
+    donate_argnums=(5, 6, 7, 8),
+)
+def paged_attention_ecc_write_attend(
+    query,
+    k_new,
+    v_new,
+    ks_new,
+    vs_new,
+    k_cache,
+    v_cache,
+    k_scales,
+    v_scales,
+    block_table,
+    context_lens,
+    layer_idx,
+    *,
+    codec: str = "hamming84",
+    block_size: int = 128,
+    num_pages: int | None = None,
+    sm_scale: float | None = None,
+    pages_per_chunk: int | None = None,
+    precision: str = "fast",
+):
+    """Fused decode-step cache WRITE + paged attention in ONE kernel.
+
+    Writes the new token's already-encoded codeword column into its page
+    (in VMEM, during the page's streaming pass) and DMAs the page back to
+    the cache, which is input/output-ALIASED so the update is guaranteed
+    in-place. This keeps the KV cache out of XLA's hands during decode:
+    a scatter + custom-call chain made XLA materialize a full cache copy
+    per layer (measured 6x the step's useful HBM traffic).
+
+    Args:
+        query: [batch, num_q_heads, head_dim].
+        k_new/v_new: [batch, num_kv_heads, row_codewords] encoded (and
+            fault-injected) codewords of the new token.
+        ks_new/vs_new: [batch, num_kv_heads] f32 dequant scales.
+        k_cache/v_cache/k_scales/v_scales: token-minor paged cache arrays
+            (donated; returned updated).
+        context_lens: [batch] int32, INCLUDING the new token (the column is
+            written at index context_lens - 1 and participates in attention).
+
+    Returns:
+        (out [batch, num_q_heads, head_dim], k_cache, v_cache, k_scales,
+        v_scales).
+    """
+    batch, num_q_heads, head_dim = query.shape
+    _, num_blocks, num_kv_heads, row_cw, bs = k_cache.shape
+    assert bs == block_size, (bs, block_size)
+    group = num_q_heads // num_kv_heads
+    assert group * num_kv_heads == num_q_heads
+    if not C.use_interpret() and block_size % 128 != 0:
+        raise ValueError(
+            f"TPU paged attention requires block_size % 128 == 0, got "
+            f"{block_size}"
+        )
+
+    if num_pages is None:
+        num_pages = block_table.shape[1]
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    if pages_per_chunk is None:
+        pages_per_chunk = max(1, 256 // block_size)
+
+    cp = min(pages_per_chunk, num_pages)
+    num_chunks = C.cdiv(num_pages, cp)
+
+    def q_map(b, c, layer, bt, cl):
+        return (b, 0, 0, 0)
+
+    def new_map(b, c, layer, bt, cl):
+        return (b, 0, 0)
+
+    def new_scale_map(b, c, layer, bt, cl):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(batch, num_chunks),
+        in_specs=[
+            pl.BlockSpec(
+                (None, num_kv_heads, group, head_dim),
+                q_map,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, num_kv_heads, row_cw), new_map, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (None, num_kv_heads, row_cw), new_map, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (None, 1, num_kv_heads), new_scale_map,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, 1, num_kv_heads), new_scale_map,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (None, num_kv_heads, group, head_dim),
+                q_map,
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, bs), k_scales.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, bs), v_scales.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((num_q_heads, 128), jnp.float32),
+            pltpu.VMEM((num_q_heads, 128), jnp.float32),
+            pltpu.VMEM((num_q_heads, head_dim), jnp.float32),
+        ],
+    )
+
+    kernel = functools.partial(
+        _paged_attn_kernel,
+        codec=codec,
+        block_size=block_size,
+        head_dim=head_dim,
+        sm_scale=float(sm_scale),
+        pages_per_chunk=cp,
+        num_chunks=num_chunks,
+        max_pages=num_pages,
+        num_kv_heads=num_kv_heads,
+        group=group,
+        precision=precision,
+        fused_write=True,
+    )
+
+    q4 = query.reshape(batch, num_kv_heads, group, head_dim)
+    out, k_cache, v_cache, k_scales, v_scales = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q4.shape, query.dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+            jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+            jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
+        ],
+        # input indices include the 3 scalar-prefetch args: caches are
+        # inputs 8..11 -> outputs 1..4 (guaranteed in-place update)
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        interpret=C.use_interpret(),
+    )(
+        jnp.asarray([layer_idx], jnp.int32),
+        block_table.astype(jnp.int32),
+        context_lens.astype(jnp.int32),
+        q4,
+        k_new.astype(k_cache.dtype),
+        v_new.astype(v_cache.dtype),
+        ks_new.reshape(batch, 1, num_kv_heads).astype(k_scales.dtype),
+        vs_new.reshape(batch, 1, num_kv_heads).astype(v_scales.dtype),
+        k_cache,
+        v_cache,
+        k_scales,
+        v_scales,
+    )
+    return (
+        out.reshape(batch, num_q_heads, head_dim),
+        k_cache,
+        v_cache,
+        k_scales,
+        v_scales,
+    )
 
 
 # =============================================================================
@@ -276,13 +628,25 @@ def paged_attention_ecc(
 
 
 def gather_pages(cache, block_table, layer_idx, num_pages):
-    """Gather [batch, num_pages*block_size, kv_heads, row_cw] from a stacked
-    paged cache using the block table (invalid pages clamp to block 0)."""
+    """Gather [batch, num_pages*block_size, kv_heads, row_cw] token-major
+    rows from a token-minor stacked paged cache using the block table
+    (invalid pages clamp to block 0)."""
     table = jnp.maximum(block_table[:, :num_pages], 0)  # [batch, pages]
-    layer = cache[layer_idx]  # [blocks, heads, bs, cw]
-    gathered = layer[table]  # [batch, pages, heads, bs, cw]
-    b, p, h, bs = gathered.shape[:4]
-    return jnp.moveaxis(gathered, 2, 3).reshape(b, p * bs, h, *gathered.shape[4:])
+    layer = cache[layer_idx]  # [blocks, heads, cw, bs]
+    gathered = layer[table]  # [batch, pages, heads, cw, bs]
+    b, p, h, cw, bs = gathered.shape
+    # -> [batch, pages, bs, heads, cw] -> [batch, tokens, heads, cw]
+    return jnp.transpose(gathered, (0, 1, 4, 2, 3)).reshape(b, p * bs, h, cw)
+
+
+def gather_scales(scales, block_table, layer_idx, num_pages):
+    """Gather [batch, tokens, kv_heads] scales from the token-minor layout
+    [layers, blocks, heads, block_size]."""
+    table = jnp.maximum(block_table[:, :num_pages], 0)
+    layer = scales[layer_idx]  # [blocks, heads, bs]
+    gathered = layer[table]  # [batch, pages, heads, bs]
+    b, p, h, bs = gathered.shape
+    return jnp.transpose(gathered, (0, 1, 3, 2)).reshape(b, p * bs, h)
 
 
 def paged_attention_ecc_reference(
@@ -306,7 +670,7 @@ def paged_attention_ecc_reference(
     from ..kernels.common import golay_decode_i32
 
     batch, num_q_heads, head_dim = query.shape
-    _, num_blocks, num_kv_heads, bs, row_cw = k_cache.shape
+    _, num_blocks, num_kv_heads, row_cw, bs = k_cache.shape
     group = num_q_heads // num_kv_heads
     if num_pages is None:
         num_pages = block_table.shape[1]
@@ -334,8 +698,8 @@ def paged_attention_ecc_reference(
 
     k_raw = gather_pages(k_cache, block_table, layer_idx, num_pages)
     v_raw = gather_pages(v_cache, block_table, layer_idx, num_pages)
-    ks = gather_pages(k_scales[..., None], block_table, layer_idx, num_pages)[..., 0]
-    vs = gather_pages(v_scales[..., None], block_table, layer_idx, num_pages)[..., 0]
+    ks = gather_scales(k_scales, block_table, layer_idx, num_pages)
+    vs = gather_scales(v_scales, block_table, layer_idx, num_pages)
 
     k = (decode(k_raw).astype(jnp.float32) - 8.0) * ks[..., None]
     v = (decode(v_raw).astype(jnp.float32) - 8.0) * vs[..., None]

@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
-from ..kernels.paged_attention import paged_attention_ecc
+from ..kernels.paged_attention import (
+    paged_attention_ecc,
+    paged_attention_ecc_write_attend,
+)
 from .config import ModelConfig
 from .kv_policy import KVCachePolicy, decode_kv, encode_kv
 from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
@@ -37,7 +40,7 @@ def init_generation_state(
     policy: KVCachePolicy,
     batch: int,
     max_tokens: int,
-    block_size: int = 16,
+    block_size: int = 128,
 ):
     """Allocate the paged cache + static sequential block table."""
     pages_per_seq = -(-max_tokens // block_size)
@@ -64,18 +67,19 @@ def _layer_kv_key(policy: KVCachePolicy, layer_idx: int, step_key):
 
 
 def _write_tokens(state, layer_idx, block_table, positions, kc, vc, ks, vs):
-    """Scatter S encoded tokens of every sequence into the paged cache.
+    """Scatter S encoded tokens of every sequence into the paged cache
+    (token-minor layout: cache[layer, block, head, codeword, slot]).
 
     kc/vc: [B, S, H, CW]; ks/vs: [B, S, H] or None; positions: [B, S].
     """
-    bs = state["k_cache"].shape[3]
+    bs = state["k_cache"].shape[4]
     phys = jnp.take_along_axis(block_table, positions // bs, axis=1)  # [B, S]
     slots = positions % bs
-    # scatter: cache[layer, phys[b,s], h, slot[b,s], :] = cw[b, s, h, :]
+    # scatter: cache[layer, phys[b,s], h, :, slot[b,s]] = cw[b, s, h, :]
     kc = kc.astype(state["k_cache"].dtype)
     vc = vc.astype(state["v_cache"].dtype)
-    state["k_cache"] = state["k_cache"].at[layer_idx, phys, :, slots, :].set(kc)
-    state["v_cache"] = state["v_cache"].at[layer_idx, phys, :, slots, :].set(vc)
+    state["k_cache"] = state["k_cache"].at[layer_idx, phys, :, :, slots].set(kc)
+    state["v_cache"] = state["v_cache"].at[layer_idx, phys, :, :, slots].set(vc)
     if ks is not None:
         state["k_scales"] = state["k_scales"].at[layer_idx, phys, :, slots].set(ks)
         state["v_scales"] = state["v_scales"].at[layer_idx, phys, :, slots].set(vs)
@@ -165,7 +169,7 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVC
     jax.jit, static_argnames=("cfg", "policy", "block_size"), donate_argnums=(2,)
 )
 def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
-                policy: KVCachePolicy, step_key, block_size: int = 16):
+                policy: KVCachePolicy, step_key, block_size: int = 128):
     """One incremental decode step: token_ids [B] -> logits [B, V].
 
     Writes the new token's K/V through the codec into the paged cache, then
@@ -181,9 +185,21 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
         kc, ks, _ = encode_kv(k, policy, kk)
         vc, vs, _ = encode_kv(v, policy, vk)
-        state = _write_tokens(state, i, block_table, positions, kc, vc, ks, vs)
-        attn = paged_attention_ecc(
+        # fused write+attend: the new token's codeword column is inserted
+        # into its page inside the kernel and the caches are updated
+        # in-place (input/output aliasing) - XLA never copies them.
+        (
+            attn,
+            state["k_cache"],
+            state["v_cache"],
+            state["k_scales"],
+            state["v_scales"],
+        ) = paged_attention_ecc_write_attend(
             q[:, 0],  # [B, Hq, D]
+            kc[:, 0],  # [B, Hkv, CW]
+            vc[:, 0],
+            ks[:, 0],  # [B, Hkv]
+            vs[:, 0],
             state["k_cache"],
             state["v_cache"],
             state["k_scales"],
@@ -206,7 +222,7 @@ def generate(
     cfg: ModelConfig,
     policy: KVCachePolicy,
     max_new_tokens: int = 32,
-    block_size: int = 16,
+    block_size: int = 128,
     temperature: float = 0.0,
     seed: int = 0,
 ):

@@ -118,7 +118,9 @@ class TestEngineWriteAttend:
         eng2 = make_engine("hamming84", interp=True)
         eng2.write(k, v, layer_idx=1)
         out_gen = eng2.attend(q1, layer_idx=1)
-        assert float(jnp.max(jnp.abs(out_fused - out_gen))) < 2e-4
+        # fused kernel runs the bf16 fast path (nibbles exact, q/softmax
+        # weights round at ~2^-8 relative) vs the f32 general path
+        assert float(jnp.max(jnp.abs(out_fused - out_gen))) < 2e-2
 
     def test_error_correction_end_to_end(self, kv, rng):
         """With BER=1e-3 and hamming84, attention output stays close to the

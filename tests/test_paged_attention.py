@@ -75,7 +75,7 @@ def build_cache(rng, cfg: ECCCacheConfig, batch, context_lens, ber=0.0, seed=0):
                             cw = np.asarray(hamming74_encode(jnp.asarray(q)))
                         else:  # int4
                             cw = q
-                        caches[f"{name}_cache"][layer, phys, :, slot, :] = cw
+                        caches[f"{name}_cache"][layer, phys, :, :, slot] = cw
                         caches[f"{name}_scales"][layer, phys, :, slot] = scale
 
     cache = {k: jnp.asarray(v) for k, v in caches.items()}
@@ -89,7 +89,8 @@ def build_cache(rng, cfg: ECCCacheConfig, batch, context_lens, ber=0.0, seed=0):
 
 
 def run_both(rng, codec, batch=2, num_q_heads=4, num_kv_heads=2, head_dim=64,
-             context_lens=(23, 40), ber=0.0, num_layers=2, layer_idx=1):
+             context_lens=(23, 40), ber=0.0, num_layers=2, layer_idx=1,
+             precision="highest"):
     cfg = ECCCacheConfig(
         num_blocks=16,
         block_size=16,
@@ -108,7 +109,8 @@ def run_both(rng, codec, batch=2, num_q_heads=4, num_kv_heads=2, head_dim=64,
     kwargs = dict(codec=codec, block_size=cfg.block_size)
     out_kernel = paged_attention_ecc(
         q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
-        cache["v_scales"], block_table, ctx, layer_idx, **kwargs
+        cache["v_scales"], block_table, ctx, layer_idx,
+        precision=precision, **kwargs
     )
     out_ref = paged_attention_ecc_reference(
         q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
@@ -121,6 +123,15 @@ def run_both(rng, codec, batch=2, num_q_heads=4, num_kv_heads=2, head_dim=64,
 def test_kernel_matches_reference_clean(codec, rng):
     out_k, out_r, _ = run_both(rng, codec)
     assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+
+@pytest.mark.parametrize("codec", ["int4", "hamming84", "golay"])
+def test_fast_precision_close(codec, rng):
+    """The bf16 fast path (production decode) stays within bf16 rounding of
+    the f32 reference: nibbles/scales are exact, only q and the softmax
+    weights round (~2^-8 relative)."""
+    out_k, out_r, _ = run_both(rng, codec, precision="fast")
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 5e-2
 
 
 @pytest.mark.parametrize("codec", ["hamming84", "golay"])
@@ -192,7 +203,8 @@ def test_layer_indexing(rng):
     q, cache, bt, ctx, _, cfg = handles
     out1 = paged_attention_ecc(
         q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
-        cache["v_scales"], bt, ctx, 0, codec="hamming84", block_size=16
+        cache["v_scales"], bt, ctx, 0, codec="hamming84", block_size=16,
+        precision="highest",
     )
     # layer 0 of this cache was filled identically, so both layers agree;
     # the point is indexing compiles and runs. Check reference agreement:
@@ -217,7 +229,7 @@ def test_online_softmax_analytic(rng):
     # V quantized value 12 everywhere with scale 0.5 -> dequant (12-8)*0.5 = 2
     for phys in (0, 1):
         cache["k_cache"][0, phys] = np.asarray(
-            np.round(rng.normal(size=(1, 16, 64)) * 2 + 8).clip(0, 15), np.uint8
+            np.round(rng.normal(size=(1, 64, 16)) * 2 + 8).clip(0, 15), np.uint8
         )
         cache["v_cache"][0, phys] = 12
         cache["k_scales"][0, phys] = 1.0
@@ -226,6 +238,74 @@ def test_online_softmax_analytic(rng):
     out = paged_attention_ecc(
         q, *(jnp.asarray(cache[k]) for k in ("k_cache", "v_cache", "k_scales", "v_scales")),
         jnp.asarray(block_table), jnp.asarray([ctx], jnp.int32), 0,
-        codec="int4", block_size=16,
+        codec="int4", block_size=16, precision="highest",
     )
     assert np.allclose(np.asarray(out), 2.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("codec", ["int4", "hamming84", "golay"])
+def test_write_attend_matches_scatter_then_attend(codec, rng):
+    """The fused write+attend kernel must produce the same attention output
+    AND the same post-write cache as an XLA scatter followed by the
+    read-only kernel."""
+    from qkv_ecc_tpu.kernels.paged_attention import paged_attention_ecc_write_attend
+    from qkv_ecc_tpu.kernels.common import (
+        golay_encode_i32, hamming84_encode_i32, hamming74_encode_i32)
+
+    batch, Hkv, group, D = 2, 2, 2, 64
+    context_lens = (23, 40)  # ctx BEFORE the new token
+    cfg = ECCCacheConfig(
+        num_blocks=16, block_size=16, num_layers=2, num_kv_heads=Hkv,
+        head_dim=D, codec=codec,
+    )
+    cache, block_table, _ = build_cache(rng, cfg, batch, context_lens)
+    q = jnp.asarray(rng.normal(size=(batch, Hkv * group, D)).astype(np.float32))
+
+    # encode a new token column per sequence
+    new_f = rng.normal(size=(batch, Hkv, D)).astype(np.float32)
+    absmax = np.abs(new_f).max(axis=-1)
+    scale = np.where(absmax == 0, 1.0, absmax / 7.0)
+    qn = jnp.asarray(
+        np.clip(np.round(new_f / scale[..., None]), -8, 7) + 8, jnp.int32
+    )
+    if codec == "golay":
+        pad = cfg.padded_head_dim - D
+        data12 = pack_thirds(jnp.pad(qn, ((0, 0), (0, 0), (0, pad))))
+        k_new = golay_encode_i32(data12, B_MASKS)
+    elif codec == "hamming84":
+        k_new = hamming84_encode_i32(qn)
+    else:
+        k_new = qn
+    v_new = k_new
+    ks_new = jnp.asarray(scale, jnp.float32)
+    ctx_new = jnp.asarray(context_lens, jnp.int32) + 1
+
+    # arm 1: XLA scatter + read-only kernel
+    bs = cfg.block_size
+    pos = jnp.asarray(context_lens, jnp.int32)
+    phys = jnp.take_along_axis(block_table, (pos // bs)[:, None], axis=1)[:, 0]
+    slots = pos % bs
+    c1 = {k: v for k, v in cache.items()}
+    dt = c1["k_cache"].dtype
+    c1["k_cache"] = c1["k_cache"].at[1, phys, :, :, slots].set(k_new.astype(dt))
+    c1["v_cache"] = c1["v_cache"].at[1, phys, :, :, slots].set(v_new.astype(dt))
+    c1["k_scales"] = c1["k_scales"].at[1, phys, :, slots].set(ks_new)
+    c1["v_scales"] = c1["v_scales"].at[1, phys, :, slots].set(ks_new)
+    out_ref = paged_attention_ecc(
+        q, c1["k_cache"], c1["v_cache"], c1["k_scales"], c1["v_scales"],
+        block_table, ctx_new, 1, codec=codec, block_size=bs,
+        precision="highest",
+    )
+
+    # arm 2: fused write+attend
+    out_f, kc2, vc2, ks2, vs2 = paged_attention_ecc_write_attend(
+        q, k_new, v_new, ks_new, ks_new,
+        cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], block_table, ctx_new, 1, codec=codec,
+        block_size=bs, precision="highest",
+    )
+    assert float(jnp.max(jnp.abs(out_f - out_ref))) < 1e-4
+    assert jnp.array_equal(kc2, c1["k_cache"])
+    assert jnp.array_equal(vc2, c1["v_cache"])
+    assert jnp.array_equal(ks2, c1["k_scales"])
+    assert jnp.array_equal(vs2, c1["v_scales"])
