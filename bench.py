@@ -97,6 +97,7 @@ def main():
         return tps
 
     golay_tps = measure("int12-golay")
+    h84_tps = measure("int4-hamming84")
     int4_tps = measure("int4")
 
     print(
@@ -106,6 +107,9 @@ def main():
                 "value": round(golay_tps, 2),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(golay_tps / int4_tps, 4),
+                "hamming84_tokens_per_sec": round(h84_tps, 2),
+                "hamming84_vs_unprotected": round(h84_tps / int4_tps, 4),
+                "unprotected_int4_tokens_per_sec": round(int4_tps, 2),
             }
         )
     )

@@ -175,3 +175,52 @@ def golay_decode_i32(cw, b_masks, *, zero_uncorrectable):
         data = jnp.where(correctable, data, cw & 0xFFF)
     error_count = jnp.where(correctable, pc(e), 4)
     return data, error_count
+
+
+def golay_correct_data_i32(cw, b_masks):
+    """Data-half-only arithmetic Golay correction - the attention fast path.
+
+    Same IMLD stages as golay_decode_i32 but (a) tracks only the DATA half
+    of the error pattern (stage 1 corrects parity bits only, so its data
+    correction is zero), (b) skips error counting, and (c) accumulates
+    within-stage hits with OR instead of first-hit select chains: B-matrix
+    rows are pairwise >= 6 apart, so pc(s ^ B_i) <= 2 can hold for at most
+    one i (if pc(s^B_i) <= 2 then pc(s^B_j) >= 6-2 > 2 for j != i).
+    ~20% fewer VPU ops per codeword lane. Uncorrectable codewords decode
+    to 0 (fused-attention semantics, reference attention_ecc.py:257-259).
+    """
+    pc = jax.lax.population_count
+    d = cw & 0xFFF
+    p = (cw >> 12) & 0xFFF
+
+    s = jnp.zeros_like(cw)
+    for i in range(12):
+        s = s | (_parity(d & b_masks[i]) << i)
+    s = s ^ p
+
+    ok1 = pc(s) <= 3  # all errors in the parity half: data untouched
+
+    ok2 = jnp.zeros_like(cw, dtype=bool)
+    e2 = jnp.zeros_like(cw)
+    for i in range(12):
+        hit = pc(s ^ b_masks[i]) <= 2
+        e2 = jnp.where(hit, 1 << i, e2)
+        ok2 = ok2 | hit
+
+    q = jnp.zeros_like(cw)
+    for i in range(12):
+        q = q | (_parity(s & b_masks[i]) << i)
+
+    ok3 = pc(q) <= 3  # data error = q
+
+    ok4 = jnp.zeros_like(cw, dtype=bool)
+    e4 = jnp.zeros_like(cw)
+    for i in range(12):
+        cand = q ^ b_masks[i]
+        hit = pc(cand) <= 2
+        e4 = jnp.where(hit, cand, e4)
+        ok4 = ok4 | hit
+
+    ed = jnp.where(ok1, 0, jnp.where(ok2, e2, jnp.where(ok3, q, e4)))
+    correctable = ok1 | ok2 | ok3 | ok4
+    return jnp.where(correctable, d ^ ed, 0)

@@ -67,7 +67,7 @@ def _decode_tile_t(codec: str, raw, head_dim: int):
         data, _ = C.hamming84_decode_i32(x)
         return data
     if codec == "golay":
-        data12, _ = C.golay_decode_i32(x, _B_MASKS, zero_uncorrectable=True)
+        data12 = C.golay_correct_data_i32(x, _B_MASKS)
         # third-partitioned packing: three nibble planes, stacked along the
         # codeword (sublane) dim -> [..., 3*CW, bs]
         planes = jnp.concatenate(

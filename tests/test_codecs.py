@@ -251,3 +251,26 @@ class TestCodecClasses:
 
     def test_golay_class_verify_properties(self):
         assert Golay2412().verify_properties()
+
+
+def test_golay_correct_data_matches_full_decoder(rng):
+    """The attention fast-path corrector must agree with the full IMLD
+    decoder (zero_uncorrectable semantics) on random corrupted codewords."""
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
+    from qkv_ecc_tpu.kernels.common import (
+        golay_correct_data_i32, golay_decode_i32, golay_encode_i32)
+
+    masks = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
+    data = jnp.asarray(rng.integers(0, 4096, (4096,)), jnp.int32)
+    cw = golay_encode_i32(data, masks)
+    # flip 0-5 random bits per codeword (covers correctable + uncorrectable)
+    nflips = rng.integers(0, 6, cw.shape)
+    flip = np.zeros(cw.shape, np.int32)
+    for j in range(cw.shape[0]):
+        for pos in rng.choice(24, size=nflips[j], replace=False):
+            flip[j] |= 1 << pos
+    corrupted = cw ^ jnp.asarray(flip)
+    full, _ = golay_decode_i32(corrupted, masks, zero_uncorrectable=True)
+    fast = golay_correct_data_i32(corrupted, masks)
+    assert jnp.array_equal(full, fast)
