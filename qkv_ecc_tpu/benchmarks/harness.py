@@ -143,7 +143,7 @@ def create_random_block_table(batch: int, num_pages: int, num_blocks: int, seed=
 
 def build_decode_attention_case(
     batch=8, num_q_heads=32, num_kv_heads=8, head_dim=128, context_len=1024,
-    block_size=16, codec="hamming84", seed=0,
+    block_size=128, codec="hamming84", seed=0,
 ):
     """Random paged cache + query for the attention benchmark."""
     from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
@@ -178,7 +178,7 @@ def build_decode_attention_case(
 
 def benchmark_ecc_attention(
     batch=8, num_q_heads=32, num_kv_heads=8, head_dim=128, context_len=1024,
-    block_size=16, codec="hamming84",
+    block_size=128, codec="hamming84",
 ) -> Dict:
     """Fused ECC attention vs an unpaged bf16 SDPA baseline
     (reference benchmark_harness.py:400-510)."""
