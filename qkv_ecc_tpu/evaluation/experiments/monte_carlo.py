@@ -74,6 +74,7 @@ def run_monte_carlo_experiment(config: MonteCarloConfig, progress=print):
             params, model_cfg, tokenizer, texts, max_length=config.max_length
         )
 
+    os.makedirs(config.output_dir, exist_ok=True)
     sweep_cfg = SweepConfig(
         cache_modes=config.cache_modes,
         ber_levels=config.ber_levels,
@@ -84,6 +85,8 @@ def run_monte_carlo_experiment(config: MonteCarloConfig, progress=print):
         compute_top5=config.compute_top5,
         compute_catastrophic=config.compute_catastrophic,
         clean_logits=clean_logits,
+        # resume support: a killed run restarts from the last finished trial
+        checkpoint_path=os.path.join(config.output_dir, "sweep_checkpoint.jsonl"),
     )
 
     t0 = time.time()

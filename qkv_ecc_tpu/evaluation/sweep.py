@@ -50,6 +50,11 @@ class SweepConfig:
     enable_timing: bool = False
     warmup_iterations: int = 3
 
+    # Trial-level checkpointing: completed (mode, ber, seed) trials are
+    # appended as JSON lines; a restarted sweep skips them. The reference had
+    # no resume at all (a killed sweep restarted from zero, SURVEY.md §5.4).
+    checkpoint_path: Optional[str] = None
+
     @classmethod
     def default(cls) -> "SweepConfig":
         return cls()
@@ -315,6 +320,34 @@ def run_single_trial(
     )
 
 
+def load_sweep_checkpoint(path) -> Dict[tuple, TrialResult]:
+    """Load completed trials from a JSONL checkpoint, keyed by
+    (cache_mode, ber, seed)."""
+    import json
+    import os
+
+    done: Dict[tuple, TrialResult] = {}
+    if path is None or not os.path.exists(path):
+        return done
+    trial_fields = {f.name for f in dataclasses.fields(TrialResult)}
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            rec = {k: v for k, v in json.loads(line).items() if k in trial_fields}
+            t = TrialResult(**rec)
+            done[(t.cache_mode, t.ber, t.seed)] = t
+    return done
+
+
+def _append_checkpoint(path, trial: TrialResult):
+    import json
+
+    with open(path, "a") as fh:
+        fh.write(json.dumps(dataclasses.asdict(trial)) + "\n")
+
+
 def run_sweep(
     params, model_cfg, tokenizer, texts, config: SweepConfig = None,
     progress_callback: Callable[[str, int, int], None] = None,
@@ -322,6 +355,7 @@ def run_sweep(
     if config is None:
         config = SweepConfig.default()
     results = SweepResults(config=config)
+    completed = load_sweep_checkpoint(config.checkpoint_path)
     total = len(config.cache_modes) * len(config.ber_levels) * len(config.seeds)
     current = 0
     for cache_mode in config.cache_modes:
@@ -332,10 +366,16 @@ def run_sweep(
                     progress_callback(
                         f"{cache_mode} @ BER={ber:.0e} seed={seed}", current, total
                     )
-                trial = run_single_trial(
-                    params, model_cfg, tokenizer, texts, cache_mode, ber, seed,
-                    config,
-                )
+                key = (cache_mode, ber, seed)
+                if key in completed:
+                    trial = completed[key]
+                else:
+                    trial = run_single_trial(
+                        params, model_cfg, tokenizer, texts, cache_mode, ber,
+                        seed, config,
+                    )
+                    if config.checkpoint_path:
+                        _append_checkpoint(config.checkpoint_path, trial)
                 results.trials.append(trial)
                 trials.append(trial)
                 current += 1

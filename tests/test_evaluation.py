@@ -281,3 +281,35 @@ class TestModelsLoading:
 
         assert 110e6 < estimate_param_count(GPT2_124M) < 190e6
         assert 7e9 < estimate_param_count(LLAMA31_8B) < 9e9
+
+
+def test_sweep_checkpoint_resume(tmp_path):
+    """A restarted sweep skips completed trials recorded in the JSONL
+    checkpoint and reproduces identical aggregates."""
+    import dataclasses
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.evaluation.sweep import (
+        SweepConfig, run_sweep, load_sweep_checkpoint)
+    from qkv_ecc_tpu.evaluation.models import load_model
+    from qkv_ecc_tpu.evaluation.data import load_wikitext2_test
+
+    params, cfg, tok = load_model("tiny-gpt2", allow_random_init=True)
+    texts = load_wikitext2_test(max_samples=2)
+    ckpt = str(tmp_path / "ckpt.jsonl")
+    scfg = SweepConfig(
+        cache_modes=["int4", "int12-golay"], ber_levels=[0.0, 1e-2],
+        seeds=[42], max_length=64, compute_kl_divergence=False,
+        compute_top5=False, compute_catastrophic=False,
+        checkpoint_path=ckpt,
+    )
+    r1 = run_sweep(params, cfg, tok, texts, scfg)
+    done = load_sweep_checkpoint(ckpt)
+    assert len(done) == 4
+
+    # resumed run executes zero new trials (checkpoint content identical)
+    before = open(ckpt).read()
+    r2 = run_sweep(params, cfg, tok, texts, scfg)
+    assert open(ckpt).read() == before
+    assert [dataclasses.asdict(t) for t in r2.trials] == [
+        dataclasses.asdict(t) for t in r1.trials
+    ]
