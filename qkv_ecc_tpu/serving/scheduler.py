@@ -1,0 +1,236 @@
+"""Continuous-batching scheduler over the paged ECC KV cache.
+
+vLLM-style serving loop, absent from the reference (it evaluated one text
+at a time through a patched HF model; SURVEY.md §2.9). Design:
+
+  * A fixed number of batch SLOTS (static shapes - one compiled decode step
+    serves every batch composition). Each active slot owns pages in the
+    shared paged cache through the host-side `BlockManager`.
+  * Admission runs a single-sequence jitted prefill into the shared cache
+    (classic stall-the-decoder continuous batching). Prefill compiles once
+    per distinct prompt length; pad prompts host-side if that matters.
+  * One fused decode step advances ALL active slots: per layer, the new
+    tokens' K/V are quantized+ECC-encoded(+fault-injected) and written
+    in-place by the fused write+attend Pallas kernel.
+  * Inactive slots decode against physical block 0, which is reserved as a
+    trash page at construction (their block tables are all -1, which the
+    kernel clamps to 0), so they never corrupt live sequences.
+  * Finished sequences release their pages immediately; the freed pages are
+    reused by the next admission (FIFO).
+
+Sharding: pass `mesh` to shard the cache state for tensor parallelism (the
+kv-head axis on the "model" axis; see parallel/sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache.block_manager import BlockManager
+from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
+from ..models.config import ModelConfig
+from ..models.kv_policy import KVCachePolicy
+from ..models.runtime import FUSED_CODECS, decode_step, prefill
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    prompt_ids: np.ndarray  # [S] int
+    max_new_tokens: int = 32
+    eos_token_id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class RequestOutput:
+    request_id: int
+    prompt_ids: np.ndarray
+    token_ids: List[int]  # generated tokens (excluding prompt)
+    finish_reason: str = "length"  # "length" | "eos"
+
+
+@dataclasses.dataclass
+class _SlotState:
+    request: Request
+    context_len: int  # tokens written to the cache (prompt + generated)
+    generated: List[int]
+    next_token: int  # sampled but not yet written/decoded
+
+
+class ContinuousBatchingServer:
+    """Admit/decode/retire loop over a shared paged ECC cache."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        policy: KVCachePolicy,
+        *,
+        max_batch: int = 8,
+        max_seq_len: int = 2048,
+        num_blocks: Optional[int] = None,
+        block_size: int = 128,
+    ):
+        if policy.codec not in FUSED_CODECS:
+            raise NotImplementedError(
+                f"serving requires a fused codec {FUSED_CODECS}, got "
+                f"'{policy.codec}'"
+            )
+        self.params = params
+        self.cfg = cfg
+        self.policy = policy
+        self.max_batch = max_batch
+        self.block_size = block_size
+        self.max_pages_per_seq = -(-max_seq_len // block_size)
+        if num_blocks is None:
+            num_blocks = max_batch * self.max_pages_per_seq + 1
+        cache_cfg = ECCCacheConfig(
+            num_blocks=num_blocks,
+            block_size=block_size,
+            num_layers=cfg.num_layers,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            codec=policy.codec,
+            max_seqs=max_batch,
+        )
+        self.cache_cfg = cache_cfg
+        self.state = allocate_ecc_kv_cache(cache_cfg)
+        self.state["context_len"] = jnp.zeros((max_batch,), jnp.int32)
+        # +1 manager row: row 0 owns the trash page, slots are rows 1..B
+        self.manager = BlockManager(
+            num_blocks, block_size, max_seqs=max_batch + 1
+        )
+        # physical block 0 is the trash page for inactive slots (their
+        # block-table rows are -1, which the kernel clamps to 0)
+        self.manager.allocate(seq_id=0, num_tokens=1)
+        self._trash_owner = 0  # slot ids are offset by 1 in the manager
+        self.slots: List[Optional[_SlotState]] = [None] * max_batch
+        self.waiting: List[Request] = []
+        self.finished: List[RequestOutput] = []
+        self._step_counter = 0
+        self._key = jax.random.key(policy.seed)
+
+    # -- host-side bookkeeping -------------------------------------------
+
+    def _mgr_id(self, slot: int) -> int:
+        return slot + 1  # manager seq 0 is the trash page owner
+
+    def _block_table(self) -> jnp.ndarray:
+        """[max_batch, max_pages_per_seq] int32, -1 for unallocated."""
+        full = self.manager.block_table(self.max_pages_per_seq)
+        # manager rows are offset by one (trash owner at row 0)
+        return full[1 : self.max_batch + 1]
+
+    def _context_lens(self) -> np.ndarray:
+        lens = np.zeros(self.max_batch, np.int32)
+        for s, st in enumerate(self.slots):
+            if st is not None:
+                lens[s] = st.context_len
+        return lens
+
+    @property
+    def num_active(self) -> int:
+        return sum(st is not None for st in self.slots)
+
+    @property
+    def has_work(self) -> bool:
+        return self.num_active > 0 or len(self.waiting) > 0
+
+    def add_request(self, request: Request):
+        self.waiting.append(request)
+
+    # -- admission (prefill) ---------------------------------------------
+
+    def _try_admit(self):
+        for slot in range(self.max_batch):
+            if not self.waiting or self.slots[slot] is not None:
+                continue
+            req = self.waiting[0]
+            S = int(len(req.prompt_ids))
+            pages = -(-S // self.block_size)
+            if pages > self.manager.num_free_blocks:
+                break  # no memory; retry after something finishes
+            self.waiting.pop(0)
+            self.manager.allocate(self._mgr_id(slot), S)
+            row = self._block_table()[slot : slot + 1]
+            ids = jnp.asarray(req.prompt_ids, jnp.int32)[None, :]
+            # single-sequence prefill into the SHARED cache arrays (the
+            # row's pages are disjoint from every other slot's)
+            self.state["context_len"] = jnp.zeros((1,), jnp.int32)
+            logits, self.state = prefill(
+                self.params, ids, self.state, row, self.cfg, self.policy,
+                jax.random.fold_in(self._key, 7_000_000 + req.request_id),
+            )
+            next_tok = int(jnp.argmax(logits[0]))
+            self.slots[slot] = _SlotState(
+                request=req, context_len=S, generated=[], next_token=next_tok,
+            )
+            self._note_token(slot, next_tok)
+
+    def _note_token(self, slot: int, token: int):
+        st = self.slots[slot]
+        st.generated.append(token)
+        done_len = len(st.generated) >= st.request.max_new_tokens
+        done_eos = (
+            st.request.eos_token_id is not None
+            and token == st.request.eos_token_id
+        )
+        if done_len or done_eos:
+            self.finished.append(
+                RequestOutput(
+                    request_id=st.request.request_id,
+                    prompt_ids=st.request.prompt_ids,
+                    token_ids=list(st.generated),
+                    finish_reason="eos" if done_eos else "length",
+                )
+            )
+            self.manager.free_seq(self._mgr_id(slot))
+            self.slots[slot] = None
+
+    # -- decode ------------------------------------------------------------
+
+    def step(self) -> List[RequestOutput]:
+        """Admit waiting requests, run ONE fused decode step for all active
+        slots, and return newly finished requests."""
+        already_done = len(self.finished)
+        self._try_admit()
+        if self.num_active:
+            tokens = np.zeros(self.max_batch, np.int64)
+            for s, st in enumerate(self.slots):
+                if st is not None:
+                    tokens[s] = st.next_token
+                    # grow the page list to hold the token we're writing
+                    self.manager.allocate(self._mgr_id(s), st.context_len + 1)
+            self.state["context_len"] = jnp.asarray(self._context_lens())
+            logits, self.state = decode_step(
+                self.params,
+                jnp.asarray(tokens),
+                self.state,
+                self._block_table(),
+                self.cfg,
+                self.policy,
+                jax.random.fold_in(self._key, self._step_counter),
+                block_size=self.block_size,
+            )
+            self._step_counter += 1
+            next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+            for s in range(self.max_batch):
+                st = self.slots[s]
+                if st is None:
+                    continue
+                st.context_len += 1
+                st.next_token = int(next_tokens[s])
+                self._note_token(s, st.next_token)
+        new = self.finished[already_done:]
+        return new
+
+    def run(self) -> List[RequestOutput]:
+        """Drain all queued work; returns every finished request."""
+        while self.has_work:
+            self.step()
+        return self.finished
