@@ -32,7 +32,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
-from ..kernels.paged_attention import paged_attention_ecc
+from ..kernels.paged_attention import paged_attention_ecc_write_attend
 from ..models.config import ModelConfig
 from ..models.kv_policy import KVCachePolicy, decode_kv, encode_kv
 from ..models.layers import apply_rope, causal_attention, rms_norm, rope_frequencies
@@ -77,12 +77,22 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     vk = jax.random.fold_in(vk, shard)
     kc, ks, _ = encode_kv(k, policy, kk)
     vc, vs, _ = encode_kv(v, policy, vk)
-    if write:
-        state = _write_tokens(state, layer_idx, block_table, positions, kc, vc, ks, vs)
 
     if fused_attend:
-        attn = paged_attention_ecc(
+        # fused write+attend: in-place aliased cache update, decode-phase
+        # attention on the LOCAL kv-head shard (no collective)
+        (
+            attn,
+            state["k_cache"],
+            state["v_cache"],
+            state["k_scales"],
+            state["v_scales"],
+        ) = paged_attention_ecc_write_attend(
             q[:, 0],
+            kc[:, 0],
+            vc[:, 0],
+            ks[:, 0],
+            vs[:, 0],
             state["k_cache"],
             state["v_cache"],
             state["k_scales"],
@@ -92,8 +102,13 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             layer_idx,
             codec=policy.codec,
             block_size=block_size,
-        )[:, None]
+        )
+        attn = attn[:, None]
     else:
+        if write:
+            state = _write_tokens(
+                state, layer_idx, block_table, positions, kc, vc, ks, vs
+            )
         k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=D, seq_axis=1)
         v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=D, seq_axis=1)
         attn = causal_attention(

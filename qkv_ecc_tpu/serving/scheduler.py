@@ -18,8 +18,9 @@ at a time through a patched HF model; SURVEY.md §2.9). Design:
   * Finished sequences release their pages immediately; the freed pages are
     reused by the next admission (FIFO).
 
-Sharding: pass `mesh` to shard the cache state for tensor parallelism (the
-kv-head axis on the "model" axis; see parallel/sharding.py).
+For tensor-parallel serving, build the step functions with
+parallel/tp_runtime.make_tp_functions and drive them with the same
+slot/page bookkeeping; this single-chip server is the reference loop.
 """
 
 from __future__ import annotations
