@@ -32,8 +32,9 @@ Key differences from the reference (deliberate, TPU-first):
   * Online softmax state lives in VMEM scratch that persists across the
     sequential chunk dimension of the grid (flash-decoding style).
 
-Supported codecs: int4 (unprotected), hamming74, hamming84, golay. Like the
-reference's inline decoders, hamming84 PRESERVES double-error data
+Supported codecs: int4 (unprotected), hamming74, hamming84, golay, plus the
+float baseline arms fp16 (bf16 on TPU) and fp8 (no decode, no scales). Like
+the reference's inline decoders, hamming84 PRESERVES double-error data
 (attention_ecc.py:126-150) and golay ZEROES uncorrectable codewords
 (attention_ecc.py:257-259).
 """
@@ -199,18 +200,34 @@ def _paged_attn_kernel(
                     @pl.when(i_in_chunk == i)
                     def _overlay():
                         for h in range(num_kv_heads):
-                            # i32 roundtrip: Mosaic only supports minor-dim
-                            # insertion on 32-bit types (uint8 caches)
-                            kcol = kn_ref[h].astype(jnp.int32)[:, None]
-                            vcol = vn_ref[h].astype(jnp.int32)[:, None]
-                            kpg = k_buf[slot, i, h].astype(jnp.int32)
-                            vpg = v_buf[slot, i, h].astype(jnp.int32)
-                            k_buf[slot, i, h] = jnp.where(
-                                is_tok, kcol, kpg
-                            ).astype(k_buf.dtype)
-                            v_buf[slot, i, h] = jnp.where(
-                                is_tok, vcol, vpg
-                            ).astype(v_buf.dtype)
+                            # kn_ref[h] is a native [CW, 1] column (the
+                            # wrapper passes [B, H, CW, 1]); integer caches
+                            # roundtrip through i32 because Mosaic selects
+                            # need 32-bit operands for mixed-shape operands
+                            if codec in ("fp16", "fp8"):
+                                # f32 roundtrip (exact for bf16/fp8): Mosaic
+                                # broadcast-selects want 32-bit operands
+                                kcol = kn_ref[h].astype(jnp.float32)
+                                vcol = vn_ref[h].astype(jnp.float32)
+                                kpg = k_buf[slot, i, h].astype(jnp.float32)
+                                vpg = v_buf[slot, i, h].astype(jnp.float32)
+                                k_buf[slot, i, h] = jnp.where(
+                                    is_tok, kcol, kpg
+                                ).astype(k_buf.dtype)
+                                v_buf[slot, i, h] = jnp.where(
+                                    is_tok, vcol, vpg
+                                ).astype(v_buf.dtype)
+                            else:
+                                kcol = kn_ref[h].astype(jnp.int32)
+                                vcol = vn_ref[h].astype(jnp.int32)
+                                kpg = k_buf[slot, i, h].astype(jnp.int32)
+                                vpg = v_buf[slot, i, h].astype(jnp.int32)
+                                k_buf[slot, i, h] = jnp.where(
+                                    is_tok, kcol, kpg
+                                ).astype(k_buf.dtype)
+                                v_buf[slot, i, h] = jnp.where(
+                                    is_tok, vcol, vpg
+                                ).astype(v_buf.dtype)
                         ks_buf[slot, i] = jnp.where(
                             is_tok, ksn_ref[0][:, None], ks_buf[slot, i]
                         )
@@ -236,24 +253,30 @@ def _paged_attn_kernel(
                         for w in wb:
                             w.wait()
 
+        is_float_codec = codec in ("fp16", "fp8")
         for h in range(num_kv_heads):
             # Nibbles (0..15 minus zero point) are EXACT in bf16, so the
             # fast path runs both matmuls on bf16 operands (1 MXU pass vs 6
             # for f32 HIGHEST) and folds the per-token dequant scales in
             # AFTER the QK^T dot / BEFORE the PV dot, where they touch
             # [group, bs] score tiles instead of [head_dim, bs] pages.
+            # Float codecs (fp16/fp8 baseline arms) skip decode and scales.
             q = q_ref[h].astype(op_t)  # [group, D]
             r0, r1 = h * group, (h + 1) * group
             for i in range(pages_per_chunk):
                 page_start = (c * pages_per_chunk + i) * bs
-                kt_nib = _decode_tile_t(
-                    codec, k_buf[slot, i, h], head_dim
-                )  # [D, bs] i32
-                vt_nib = _decode_tile_t(codec, v_buf[slot, i, h], head_dim)
-                ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
-                vs = vs_buf[slot, i, h].astype(jnp.float32)
-                kt = (kt_nib - 8).astype(op_t)
-                vt = vt_nib.astype(op_t)  # zero point folded in post-dot
+                if is_float_codec:
+                    kt = k_buf[slot, i, h].astype(op_t)  # [D, bs]
+                    vt = v_buf[slot, i, h].astype(op_t)
+                else:
+                    kt_nib = _decode_tile_t(
+                        codec, k_buf[slot, i, h], head_dim
+                    )  # [D, bs] i32
+                    vt_nib = _decode_tile_t(codec, v_buf[slot, i, h], head_dim)
+                    ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
+                    vs = vs_buf[slot, i, h].astype(jnp.float32)
+                    kt = (kt_nib - 8).astype(op_t)
+                    vt = vt_nib.astype(op_t)  # zero point folded in post-dot
 
                 s_raw = jax.lax.dot_general(
                     q,
@@ -262,7 +285,10 @@ def _paged_attn_kernel(
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )  # [group, bs]
-                s = s_raw * (ks * sm_scale)[None, :]
+                if is_float_codec:
+                    s = s_raw * sm_scale
+                else:
+                    s = s_raw * (ks * sm_scale)[None, :]
                 token_ids = page_start + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, dimension=1
                 )
@@ -277,19 +303,17 @@ def _paged_attn_kernel(
                 # fold the V dequant scale into the softmax weights, then
                 # contract tokens: p [group, bs] x vt [D, bs] -> [group, D].
                 # The -8 zero point becomes a rank-1 correction.
-                pv = p_ij * vs[None, :]
-                pv_sum = jnp.sum(pv, axis=1, keepdims=True)  # [group, 1]
-                acc_scr[r0:r1] = (
-                    acc_scr[r0:r1] * alpha
-                    + jax.lax.dot_general(
-                        pv.astype(op_t),
-                        vt,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )
-                    - 8.0 * pv_sum
+                pv = p_ij if is_float_codec else p_ij * vs[None, :]
+                delta = jax.lax.dot_general(
+                    pv.astype(op_t),
+                    vt,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=prec,
                 )
+                if not is_float_codec:
+                    delta = delta - 8.0 * jnp.sum(pv, axis=1, keepdims=True)
+                acc_scr[r0:r1] = acc_scr[r0:r1] * alpha + delta
                 m_scr[r0:r1] = jnp.broadcast_to(m_new, (group, m_scr.shape[1]))
                 l_scr[r0:r1] = jnp.broadcast_to(l_new, (group, l_scr.shape[1]))
 
@@ -511,7 +535,7 @@ def paged_attention_ecc_write_attend(
         return (b, 0, 0, 0)
 
     def new_map(b, c, layer, bt, cl):
-        return (b, 0, 0)
+        return (b, 0, 0, 0)
 
     def new_scale_map(b, c, layer, bt, cl):
         return (b, 0, 0)
@@ -526,10 +550,12 @@ def paged_attention_ecc_write_attend(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, num_kv_heads, row_cw), new_map, memory_space=pltpu.VMEM
+                (None, num_kv_heads, row_cw, 1), new_map,
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, num_kv_heads, row_cw), new_map, memory_space=pltpu.VMEM
+                (None, num_kv_heads, row_cw, 1), new_map,
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (None, 1, num_kv_heads), new_scale_map,
@@ -603,8 +629,8 @@ def paged_attention_ecc_write_attend(
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         q4,
-        k_new.astype(k_cache.dtype),
-        v_new.astype(v_cache.dtype),
+        k_new.reshape(batch, num_kv_heads, row_cw, 1).astype(k_cache.dtype),
+        v_new.reshape(batch, num_kv_heads, row_cw, 1).astype(v_cache.dtype),
         ks_new.reshape(batch, 1, num_kv_heads).astype(k_scales.dtype),
         vs_new.reshape(batch, 1, num_kv_heads).astype(v_scales.dtype),
         k_cache,
@@ -698,11 +724,15 @@ def paged_attention_ecc_reference(
 
     k_raw = gather_pages(k_cache, block_table, layer_idx, num_pages)
     v_raw = gather_pages(v_cache, block_table, layer_idx, num_pages)
-    ks = gather_scales(k_scales, block_table, layer_idx, num_pages)
-    vs = gather_scales(v_scales, block_table, layer_idx, num_pages)
 
-    k = (decode(k_raw).astype(jnp.float32) - 8.0) * ks[..., None]
-    v = (decode(v_raw).astype(jnp.float32) - 8.0) * vs[..., None]
+    if codec in ("fp16", "fp8"):
+        k = k_raw.astype(jnp.float32)
+        v = v_raw.astype(jnp.float32)
+    else:
+        ks = gather_scales(k_scales, block_table, layer_idx, num_pages)
+        vs = gather_scales(v_scales, block_table, layer_idx, num_pages)
+        k = (decode(k_raw).astype(jnp.float32) - 8.0) * ks[..., None]
+        v = (decode(v_raw).astype(jnp.float32) - 8.0) * vs[..., None]
     # [batch, tokens, kv_heads, head_dim] -> [batch, kv_heads, tokens, head_dim]
     k = jnp.moveaxis(k, 1, 2)
     v = jnp.moveaxis(v, 1, 2)

@@ -32,7 +32,7 @@ from .config import ModelConfig
 from .kv_policy import KVCachePolicy, decode_kv, encode_kv
 from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
 
-FUSED_CODECS = ("int4", "hamming74", "hamming84", "golay")
+FUSED_CODECS = ("int4", "hamming74", "hamming84", "golay", "fp16", "fp8")
 
 
 def init_generation_state(
@@ -185,6 +185,8 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
         kc, ks, _ = encode_kv(k, policy, kk)
         vc, vs, _ = encode_kv(v, policy, vk)
+        if ks is None:  # float codecs carry no dequant scales
+            ks = vs = jnp.ones(kc.shape[:3], jnp.float32)
         # fused write+attend: the new token's codeword column is inserted
         # into its page inside the kernel and the caches are updated
         # in-place (input/output aliasing) - XLA never copies them.
@@ -229,8 +231,7 @@ def generate(
     """Greedy (temperature=0) or sampled generation.
 
     input_ids: [B, S] numpy/jnp int array. Returns [B, S + max_new_tokens].
-    Requires policy.codec in FUSED_CODECS for the decode path (fp16/fp8
-    generation uses the engine's gather path; see cache/engine.py).
+    Requires policy.codec in FUSED_CODECS for the decode path.
     """
     if policy.codec not in FUSED_CODECS:
         raise NotImplementedError(

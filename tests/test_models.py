@@ -189,11 +189,15 @@ class TestGeneration:
                        temperature=1.0, seed=3)
         assert out.shape == (1, 12)
 
-    def test_fp16_generation_not_supported_via_runtime(self, rng):
+    def test_fp16_generation_matches_protected_at_ber0(self, rng):
+        """fp16 now runs through the fused kernel's float path; at BER=0 the
+        greedy tokens should usually agree with the hamming84 roundtrip
+        (INT4 quantization rarely flips a greedy argmax on a tiny model)."""
         params = init_params(TINY_GPT2, 0)
-        with pytest.raises(NotImplementedError):
-            generate(params, jnp.zeros((1, 4), jnp.int32), TINY_GPT2,
-                     KVCachePolicy(codec="fp16"), max_new_tokens=2)
+        ids = jnp.asarray(rng.integers(0, TINY_GPT2.vocab_size, (1, 8)))
+        out = generate(params, ids, TINY_GPT2, KVCachePolicy(codec="fp16"),
+                       max_new_tokens=4, block_size=16)
+        assert out.shape == (1, 12)
 
 
 class TestCrossEntropy:

@@ -309,3 +309,52 @@ def test_write_attend_matches_scatter_then_attend(codec, rng):
     assert jnp.array_equal(vc2, c1["v_cache"])
     assert jnp.array_equal(ks2, c1["k_scales"])
     assert jnp.array_equal(vs2, c1["v_scales"])
+
+
+@pytest.mark.parametrize("codec", ["fp16", "fp8"])
+def test_float_codec_fused_kernel(codec, rng):
+    """fp16/fp8 baseline arms run through the fused kernel (no decode, no
+    scales) and match the jnp reference."""
+    from qkv_ecc_tpu.cache.layout import cache_dtype_for
+
+    batch, Hkv, group, D, bs = 2, 2, 2, 64, 16
+    context_lens = (23, 40)
+    cfg = ECCCacheConfig(
+        num_blocks=16, block_size=bs, num_layers=1, num_kv_heads=Hkv,
+        head_dim=D, codec=codec,
+    )
+    cache = {k: np.array(v) for k, v in allocate_ecc_kv_cache(cfg).items()}
+    block_table = np.full((batch, 8), -1, np.int32)
+    nb = 0
+    for b in range(batch):
+        for lb in range(-(-context_lens[b] // bs)):
+            block_table[b, lb] = nb; nb += 1
+    kv = rng.normal(size=(2, 1, 16, Hkv, D, bs)).astype(np.float32)
+    cache["k_cache"] = jnp.asarray(kv[0], cache_dtype_for(codec))
+    cache["v_cache"] = jnp.asarray(kv[1], cache_dtype_for(codec))
+    q = jnp.asarray(rng.normal(size=(batch, Hkv * group, D)).astype(np.float32))
+    args = (q, cache["k_cache"], cache["v_cache"],
+            jnp.asarray(cache["k_scales"]), jnp.asarray(cache["v_scales"]),
+            jnp.asarray(block_table), jnp.asarray(context_lens, jnp.int32), 0)
+    out_k = paged_attention_ecc(*args, codec=codec, block_size=bs,
+                                precision="highest")
+    out_r = paged_attention_ecc_reference(*args, codec=codec, block_size=bs)
+    assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
+
+    # fused write+attend roundtrip for the float path
+    from qkv_ecc_tpu.kernels.paged_attention import paged_attention_ecc_write_attend
+    k_new = jnp.asarray(rng.normal(size=(batch, Hkv, D)), cache_dtype_for(codec))
+    ones = jnp.ones((batch, Hkv), jnp.float32)
+    ctx_new = jnp.asarray(context_lens, jnp.int32) + 1
+    out_f, kc2, vc2, _, _ = paged_attention_ecc_write_attend(
+        q, k_new, k_new, ones, ones, cache["k_cache"], cache["v_cache"],
+        jnp.asarray(cache["k_scales"]), jnp.asarray(cache["v_scales"]),
+        jnp.asarray(block_table), ctx_new, 0, codec=codec, block_size=bs,
+        precision="highest",
+    )
+    # the written column reads back exactly
+    for b in range(batch):
+        pos = context_lens[b]
+        phys = block_table[b, pos // bs]
+        got = kc2[0, phys, :, :, pos % bs]
+        assert jnp.array_equal(got, k_new[b])
