@@ -1,9 +1,11 @@
 """Generation runtime: jitted prefill + decode steps over a functional paged
 ECC cache.
 
-The whole decode step - every layer's projections, cache write
-(quantize+encode+inject+scatter), fused paged attention with inline ECC
-decode, MLP, and LM head - is ONE jitted function with donated cache buffers.
+The whole decode step - every layer's projections, quantize+encode+inject,
+the fused write+attend Pallas kernel (in-place aliased cache update + paged
+attention with inline ECC decode), MLP, and LM head - is ONE jitted function
+with donated cache buffers. Prefill writes whole pages with an XLA scatter
+(it runs once per sequence and never races the kernel's aliased updates).
 Contrast with the reference, whose generate() re-prefilled the full prefix
 each step through Python loops (its ECCDummyCache never advanced
 `_seen_tokens`, kv_cache/ecc_shim.py:83-131, so HF generate re-sent the whole
