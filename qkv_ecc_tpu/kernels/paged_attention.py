@@ -125,6 +125,7 @@ def _paged_attn_kernel(
     group: int,
     precision: str,
     fused_write: bool,
+    interpolate: bool,
 ):
     if fused_write:
         (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
@@ -254,6 +255,37 @@ def _paged_attn_kernel(
                             w.wait()
 
         is_float_codec = codec in ("fp16", "fp8")
+        do_interp = interpolate and codec == "hamming84"
+
+        def interp_pages(pages_dec, pages_et, chunk_base):
+            """SECDED double-error temporal interpolation across the chunk's
+            consecutive pages: v_hat[t] = floor((v[t-1]+v[t+1])/2 + 0.5) at
+            DOUBLE_DETECTED positions (oracle: codecs/interpolation.py).
+            Neighbors cross page boundaries inside the chunk; the rare
+            double error in a chunk-edge lane clamps to itself (the
+            reference's fused kernel skipped interpolation entirely,
+            ecc_shim.py:791-799)."""
+            out = []
+            for i, (x, et) in enumerate(zip(pages_dec, pages_et)):
+                lcol = pages_dec[i - 1][:, -1:] if i > 0 else x[:, :1]
+                rcol = (
+                    pages_dec[i + 1][:, :1]
+                    if i + 1 < len(pages_dec)
+                    else x[:, -1:]
+                )
+                left = jnp.concatenate([lcol, x[:, :-1]], axis=1)
+                right = jnp.concatenate([x[:, 1:], rcol], axis=1)
+                tok = chunk_base + i * bs + jax.lax.broadcasted_iota(
+                    jnp.int32, x.shape, dimension=1
+                )
+                # clamp at the sequence's true end (right neighbor of the
+                # last valid token is itself) and at position 0
+                right = jnp.where(tok + 1 < ctx, right, x)
+                left = jnp.where(tok == 0, x, left)
+                interp = (left + right + 1) >> 1
+                out.append(jnp.where(et == 2, interp, x))
+            return out
+
         for h in range(num_kv_heads):
             # Nibbles (0..15 minus zero point) are EXACT in bf16, so the
             # fast path runs both matmuls on bf16 operands (1 MXU pass vs 6
@@ -263,16 +295,37 @@ def _paged_attn_kernel(
             # Float codecs (fp16/fp8 baseline arms) skip decode and scales.
             q = q_ref[h].astype(op_t)  # [group, D]
             r0, r1 = h * group, (h + 1) * group
+            if do_interp:
+                # decode the whole chunk first: interpolation needs
+                # cross-page temporal neighbors
+                kd, ket, vd, vet = [], [], [], []
+                for i in range(pages_per_chunk):
+                    dk, ek = C.hamming84_decode_i32(
+                        k_buf[slot, i, h].astype(jnp.int32)
+                    )
+                    dv, ev = C.hamming84_decode_i32(
+                        v_buf[slot, i, h].astype(jnp.int32)
+                    )
+                    kd.append(dk); ket.append(ek)
+                    vd.append(dv); vet.append(ev)
+                chunk_base = c * pages_per_chunk * bs
+                kd = interp_pages(kd, ket, chunk_base)
+                vd = interp_pages(vd, vet, chunk_base)
             for i in range(pages_per_chunk):
                 page_start = (c * pages_per_chunk + i) * bs
                 if is_float_codec:
                     kt = k_buf[slot, i, h].astype(op_t)  # [D, bs]
                     vt = v_buf[slot, i, h].astype(op_t)
                 else:
-                    kt_nib = _decode_tile_t(
-                        codec, k_buf[slot, i, h], head_dim
-                    )  # [D, bs] i32
-                    vt_nib = _decode_tile_t(codec, v_buf[slot, i, h], head_dim)
+                    if do_interp:
+                        kt_nib, vt_nib = kd[i], vd[i]
+                    else:
+                        kt_nib = _decode_tile_t(
+                            codec, k_buf[slot, i, h], head_dim
+                        )  # [D, bs] i32
+                        vt_nib = _decode_tile_t(
+                            codec, v_buf[slot, i, h], head_dim
+                        )
                     ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
                     vs = vs_buf[slot, i, h].astype(jnp.float32)
                     kt = (kt_nib - 8).astype(op_t)
@@ -328,7 +381,7 @@ def _paged_attn_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
-                     "pages_per_chunk", "precision"),
+                     "pages_per_chunk", "precision", "use_interpolation"),
 )
 def paged_attention_ecc(
     query,
@@ -346,6 +399,7 @@ def paged_attention_ecc(
     sm_scale: float | None = None,
     pages_per_chunk: int | None = None,
     precision: str = "fast",
+    use_interpolation: bool = False,
 ):
     """Decode-phase fused paged attention with inline ECC decode.
 
@@ -439,6 +493,7 @@ def paged_attention_ecc(
         group=group,
         precision=precision,
         fused_write=False,
+        interpolate=use_interpolation,
     )
 
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
@@ -463,7 +518,7 @@ def paged_attention_ecc(
 @functools.partial(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
-                     "pages_per_chunk", "precision"),
+                     "pages_per_chunk", "precision", "use_interpolation"),
     donate_argnums=(5, 6, 7, 8),
 )
 def paged_attention_ecc_write_attend(
@@ -486,6 +541,7 @@ def paged_attention_ecc_write_attend(
     sm_scale: float | None = None,
     pages_per_chunk: int | None = None,
     precision: str = "fast",
+    use_interpolation: bool = False,
 ):
     """Fused decode-step cache WRITE + paged attention in ONE kernel.
 
@@ -607,6 +663,7 @@ def paged_attention_ecc_write_attend(
         group=group,
         precision=precision,
         fused_write=True,
+        interpolate=use_interpolation,
     )
 
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)

@@ -213,6 +213,7 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
             i,
             codec=policy.codec,
             block_size=block_size,
+            use_interpolation=policy.use_interpolation,
         )
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
     logits = _lm_head(params, x, cfg)[:, 0]

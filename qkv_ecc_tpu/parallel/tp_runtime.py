@@ -102,6 +102,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             layer_idx,
             codec=policy.codec,
             block_size=block_size,
+            use_interpolation=policy.use_interpolation,
         )
         attn = attn[:, None]
     else:

@@ -358,3 +358,54 @@ def test_float_codec_fused_kernel(codec, rng):
         phys = block_table[b, pos // bs]
         got = kc2[0, phys, :, :, pos % bs]
         assert jnp.array_equal(got, k_new[b])
+
+
+def test_fused_interpolation_matches_oracle(rng):
+    """hamming84 + use_interpolation in the fused kernel must match the jnp
+    oracle (gather -> decode -> interpolate(seq_dim) -> dequant -> softmax)
+    when the context fits one chunk (cross-page neighbors exercised; the
+    only semantic deviation is at chunk boundaries)."""
+    from qkv_ecc_tpu.codecs.reference import hamming84_decode
+    from qkv_ecc_tpu.codecs.interpolation import interpolate_double_errors
+    from qkv_ecc_tpu.kernels.paged_attention import gather_pages, gather_scales
+
+    batch, Hkv, group, D = 2, 2, 2, 64
+    context_lens = (55, 40)  # spans 4 pages of 16 -> inside one 16-page chunk
+    cfg = ECCCacheConfig(
+        num_blocks=16, block_size=16, num_layers=1, num_kv_heads=Hkv,
+        head_dim=D, codec="hamming84",
+    )
+    cache, block_table, _ = build_cache(
+        rng, cfg, batch, context_lens, ber=2e-2, seed=7
+    )
+    q = jnp.asarray(rng.normal(size=(batch, Hkv * group, D)).astype(np.float32))
+    ctx = jnp.asarray(context_lens, jnp.int32)
+
+    out_k = paged_attention_ecc(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], block_table, ctx, 0, codec="hamming84",
+        block_size=16, use_interpolation=True, precision="highest",
+    )
+
+    # oracle
+    n_pages = block_table.shape[1]
+    k_raw = gather_pages(cache["k_cache"], block_table, 0, n_pages)
+    v_raw = gather_pages(cache["v_cache"], block_table, 0, n_pages)
+    ks = gather_scales(cache["k_scales"], block_table, 0, n_pages)
+    vs = gather_scales(cache["v_scales"], block_table, 0, n_pages)
+    outs = []
+    for b in range(batch):
+        T = context_lens[b]
+        kd, ket, _, _ = hamming84_decode(k_raw[b, :T].astype(jnp.uint8))
+        vd, vet, _, _ = hamming84_decode(v_raw[b, :T].astype(jnp.uint8))
+        kd = interpolate_double_errors(kd, ket, seq_dim=0).astype(jnp.int32)
+        vd = interpolate_double_errors(vd, vet, seq_dim=0).astype(jnp.int32)
+        k = (kd.astype(np.float32) - 8.0) * np.asarray(ks[b, :T])[..., None]
+        v = (vd.astype(np.float32) - 8.0) * np.asarray(vs[b, :T])[..., None]
+        qb = np.asarray(q[b]).reshape(Hkv, group, D)
+        s = np.einsum("hgd,thd->hgt", qb, np.asarray(k)) / np.sqrt(D)
+        w = np.exp(s - s.max(-1, keepdims=True))
+        w /= w.sum(-1, keepdims=True)
+        outs.append(np.einsum("hgt,thd->hgd", w, np.asarray(v)).reshape(-1, D))
+    expected = np.stack(outs)
+    assert float(jnp.max(jnp.abs(out_k - expected))) < 1e-4
