@@ -50,7 +50,7 @@ def main():
         tie_word_embeddings=False,
         dtype="bfloat16",
     )
-    batch, prompt_len, decode_tokens = 8, 1024, 64
+    batch, prompt_len, decode_tokens = 8, 1024, 128
     print(
         f"bench: {cfg.name} on {jax.devices()[0].device_kind}, "
         f"batch={batch} ctx={prompt_len}+{decode_tokens}",
@@ -81,17 +81,23 @@ def main():
         _ = np.asarray(logits)
         print(f"  {mode}: compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
 
-        t0 = time.perf_counter()
-        for step in range(decode_tokens):
-            logits, state = decode_step(
-                params, jnp.argmax(logits, axis=-1), state, block_table, cfg,
-                policy, jax.random.fold_in(key, step),
-            )
-        _ = np.asarray(logits)
-        dt = time.perf_counter() - t0 - 0.025  # subtract one host fetch RTT
-        tps = batch * decode_tokens / dt
+        # best of 3 rounds: the tunneled chip shows transient stalls, and
+        # the minimum is the faithful steady-state estimate
+        best_dt = float("inf")
+        for _round in range(3):
+            t0 = time.perf_counter()
+            for step in range(decode_tokens):
+                logits, state = decode_step(
+                    params, jnp.argmax(logits, axis=-1), state, block_table,
+                    cfg, policy, jax.random.fold_in(key, step),
+                )
+            _ = np.asarray(logits)
+            dt = time.perf_counter() - t0 - 0.025  # one host fetch RTT
+            best_dt = min(best_dt, dt)
+        tps = batch * decode_tokens / best_dt
         print(
-            f"  {mode}: {tps:.1f} tok/s ({dt / decode_tokens * 1e3:.2f} ms/step)",
+            f"  {mode}: {tps:.1f} tok/s "
+            f"({best_dt / decode_tokens * 1e3:.2f} ms/step)",
             file=sys.stderr,
         )
         return tps

@@ -89,6 +89,43 @@ def hamming84_decode_i32(cw):
     return data, error_type
 
 
+def _h74_data_correction_i32(syndrome):
+    """XOR mask for the DATA nibble only. Parity-bit errors (syndrome 1, 2,
+    4 -> positions p0/p1/p2) never change the data, so only syndromes
+    {3, 5, 6, 7} (data bits d0..d3) need a correction: 3->bit0, 5->bit1,
+    6->bit2, 7->bit3, i.e. 1 << (syndrome - 4) except 3 -> 1."""
+    return jnp.where(
+        syndrome == 3,
+        1,
+        jnp.where(syndrome >= 5, 1 << jnp.maximum(syndrome - 4, 0), 0),
+    )
+
+
+def hamming74_correct_data_i32(cw):
+    """Data-only Hamming(7,4) correction - the attention fast path (no
+    error flags, parity-bit corrections skipped)."""
+    cw7 = cw & 0x7F
+    syndrome = hamming7_syndrome_i32(cw7)
+    return (cw7 ^ _h74_data_correction_i32(syndrome)) & 0xF
+
+
+def hamming84_correct_data_i32(cw):
+    """Data-only SECDED correction - the attention fast path.
+
+    Same semantics as hamming84_decode_i32's data output (single errors
+    corrected, double errors PRESERVE the corrupt data bits) but ~1.5x
+    fewer VPU ops: no error-type classification, overall parity via one
+    hardware popcount, and corrections only computed for data-bit
+    syndromes (parity-bit flips never change the nibble)."""
+    cw7 = cw & 0x7F
+    syndrome = hamming7_syndrome_i32(cw7)
+    # odd overall parity over all 8 bits <=> stored parity != computed
+    parity_odd = (jax.lax.population_count(cw & 0xFF) & 1) == 1
+    single = (syndrome != 0) & parity_odd
+    corr = jnp.where(single, _h74_data_correction_i32(syndrome), 0)
+    return (cw7 ^ corr) & 0xF
+
+
 def hamming74_encode_i32(d):
     d = d & 0xF
     b = [(d >> i) & 1 for i in range(4)]

@@ -62,11 +62,9 @@ def _decode_tile_t(codec: str, raw, head_dim: int):
     if codec == "int4":
         return x & 0xF
     if codec == "hamming74":
-        data, _ = C.hamming74_decode_i32(x)
-        return data
+        return C.hamming74_correct_data_i32(x)
     if codec == "hamming84":
-        data, _ = C.hamming84_decode_i32(x)
-        return data
+        return C.hamming84_correct_data_i32(x)
     if codec == "golay":
         data12 = C.golay_correct_data_i32(x, _B_MASKS)
         # third-partitioned packing: three nibble planes, stacked along the

@@ -274,3 +274,18 @@ def test_golay_correct_data_matches_full_decoder(rng):
     full, _ = golay_decode_i32(corrupted, masks, zero_uncorrectable=True)
     fast = golay_correct_data_i32(corrupted, masks)
     assert jnp.array_equal(full, fast)
+
+
+def test_hamming_correct_data_matches_full_decoder(rng):
+    """Data-only fast correctors agree with the full decoders on every
+    possible byte (exhaustive: all 256 uint8 codeword values)."""
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.kernels.common import (
+        hamming74_correct_data_i32, hamming74_decode_i32,
+        hamming84_correct_data_i32, hamming84_decode_i32)
+
+    all_bytes = jnp.arange(256, dtype=jnp.int32)
+    d74, _ = hamming74_decode_i32(all_bytes & 0x7F)
+    assert jnp.array_equal(d74, hamming74_correct_data_i32(all_bytes))
+    d84, _ = hamming84_decode_i32(all_bytes)
+    assert jnp.array_equal(d84, hamming84_correct_data_i32(all_bytes))
