@@ -29,7 +29,7 @@ from ..codecs import (
 )
 from ..kernels import codec_kernels as ck
 from ..evaluation.constants import compute_bandwidth_efficiency
-from ..evaluation.timing import time_fn
+from ..evaluation.timing import time_fn, time_fn_chained
 
 
 @dataclasses.dataclass
@@ -56,7 +56,8 @@ class KernelBenchResult:
 
 
 def _bench(name, fn, *args, n_values, bytes_per_value=1.0, iters=20) -> KernelBenchResult:
-    dt = time_fn(fn, *args, iters=iters)
+    # chained timing: block_until_ready under-measures on remote runtimes
+    dt = time_fn_chained(fn, *args, iters=iters)
     return KernelBenchResult(
         name=name,
         n_values=n_values,
@@ -195,7 +196,7 @@ def benchmark_ecc_attention(
             codec=codec, block_size=block_size,
         )
 
-    dt_ecc = time_fn(jax.jit(ecc_attn), q)
+    dt_ecc = time_fn_chained(jax.jit(ecc_attn), q)
 
     # SDPA baseline: dense bf16 decode attention at the same shapes
     rng = np.random.default_rng(1)
@@ -212,7 +213,7 @@ def benchmark_ecc_attention(
         w = jax.nn.softmax(s / np.sqrt(head_dim), axis=-1).astype(jnp.bfloat16)
         return jnp.einsum("bhgt,bthd->bhgd", w, v).reshape(batch, num_q_heads, head_dim)
 
-    dt_sdpa = time_fn(sdpa, q)
+    dt_sdpa = time_fn_chained(sdpa, q)
     tokens_per_sec = batch / dt_ecc
     return {
         "codec": codec,

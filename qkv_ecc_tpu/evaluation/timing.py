@@ -14,6 +14,8 @@ from contextlib import contextmanager
 from typing import Dict, List
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 PHASES = ("host_to_device", "quantize", "encode", "decode", "dequantize")
 
@@ -137,7 +139,10 @@ def run_warmup(fn, *args, iterations: int = 3):
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 2):
-    """Median wall time of a jitted fn with block_until_ready fencing."""
+    """Median wall time of a jitted fn with block_until_ready fencing.
+
+    Caveat: on remote/tunneled runtimes block_until_ready can return before
+    the device work drains; prefer time_fn_chained there."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     times = []
@@ -147,3 +152,36 @@ def time_fn(fn, *args, iters: int = 10, warmup: int = 2):
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def time_fn_chained(fn, x, *args, iters: int = 20, warmup: int = 3,
+                    fetch_overhead_s: float = 0.025):
+    """Mean wall time of `fn(x, *args)` with a true data-dependence chain.
+
+    Each iteration's first input is combined with a zeroed scalar derived
+    from the previous output, forcing sequential device execution even when
+    block_until_ready is unreliable (remote runtimes enqueue asynchronously).
+    One scalar host fetch at the end, subtracted as fetch_overhead_s."""
+
+    def first_arr(o):
+        while isinstance(o, (tuple, list)):
+            o = o[0]
+        return o
+
+    @jax.jit
+    def chain(prev_x, out_scalar):
+        if jnp.issubdtype(prev_x.dtype, jnp.floating):
+            return prev_x + (out_scalar * 0).astype(prev_x.dtype)
+        return prev_x ^ (out_scalar & 0).astype(prev_x.dtype)
+
+    r = x
+    for _ in range(warmup):
+        o = first_arr(fn(r, *args))
+        r = chain(r, o.reshape(-1)[0])
+    _ = np.asarray(r.reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        o = first_arr(fn(r, *args))
+        r = chain(r, o.reshape(-1)[0])
+    _ = np.asarray(r.reshape(-1)[0])
+    return max(time.perf_counter() - t0 - fetch_overhead_s, 1e-9) / iters
