@@ -45,6 +45,7 @@ class Request:
     prompt_ids: np.ndarray  # [S] int
     max_new_tokens: int = 32
     eos_token_id: Optional[int] = None
+    temperature: float = 0.0  # 0 = greedy
 
 
 @dataclasses.dataclass
@@ -115,6 +116,16 @@ class ContinuousBatchingServer:
         self.finished: List[RequestOutput] = []
         self._step_counter = 0
         self._key = jax.random.key(policy.seed)
+        self._sample_key = jax.random.key(policy.seed + 1)
+
+        @jax.jit
+        def _sample(logits, temps, key):
+            greedy = jnp.argmax(logits, axis=-1)
+            scaled = logits / jnp.maximum(temps, 1e-6)[:, None]
+            sampled = jax.random.categorical(key, scaled, axis=-1)
+            return jnp.where(temps > 0, sampled, greedy)
+
+        self._sample = _sample
 
     # -- host-side bookkeeping -------------------------------------------
 
@@ -167,11 +178,21 @@ class ContinuousBatchingServer:
                 self.params, ids, self.state, row, self.cfg, self.policy,
                 jax.random.fold_in(self._key, 7_000_000 + req.request_id),
             )
-            next_tok = int(jnp.argmax(logits[0]))
+            next_tok = int(self._pick_tokens(logits, {0: req})[0])
             self.slots[slot] = _SlotState(
                 request=req, context_len=S, generated=[], next_token=next_tok,
             )
             self._note_token(slot, next_tok)
+
+    def _pick_tokens(self, logits, requests_by_row):
+        """Device-side sampling: per-row temperature (0 = greedy)."""
+        temps = np.zeros(logits.shape[0], np.float32)
+        for row, req in requests_by_row.items():
+            temps[row] = req.temperature
+        self._sample_key, sub = jax.random.split(self._sample_key)
+        return np.asarray(
+            self._sample(logits, jnp.asarray(temps), sub)
+        )
 
     def _note_token(self, slot: int, token: int):
         st = self.slots[slot]
@@ -219,7 +240,14 @@ class ContinuousBatchingServer:
                 block_size=self.block_size,
             )
             self._step_counter += 1
-            next_tokens = np.asarray(jnp.argmax(logits, axis=-1))
+            next_tokens = self._pick_tokens(
+                logits,
+                {
+                    i: st.request
+                    for i, st in enumerate(self.slots)
+                    if st is not None
+                },
+            )
             for s in range(self.max_batch):
                 st = self.slots[s]
                 if st is None:

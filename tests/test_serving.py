@@ -117,3 +117,34 @@ def test_serving_under_fault_injection_golay(tiny, rng):
     outs = server.run()
     assert len(outs) == 3
     assert all(len(o.token_ids) == 5 for o in outs)
+
+
+def test_per_request_temperature_sampling(tiny, rng):
+    """temperature > 0 samples (deterministic given the server seed) while
+    temperature == 0 stays greedy in the same batch."""
+    params, cfg = tiny
+    policy = policy_for_mode("int4", ber=0.0, seed=42)
+    prompts = [rng.integers(0, cfg.vocab_size, (6,)) for _ in range(2)]
+    ref = generate(
+        params, jnp.asarray(prompts[0])[None, :], cfg, policy,
+        max_new_tokens=5, block_size=16,
+    )
+    greedy_expected = list(np.asarray(ref[0, 6:]))
+
+    server = make_server(params, cfg, mode="int4")
+    server.add_request(Request(0, prompts[0], max_new_tokens=5))
+    server.add_request(
+        Request(1, prompts[1], max_new_tokens=5, temperature=1.5)
+    )
+    outs = {o.request_id: o for o in server.run()}
+    assert outs[0].token_ids == greedy_expected  # greedy row unaffected
+    assert len(outs[1].token_ids) == 5
+
+    # same seed -> reproducible sampled tokens
+    server2 = make_server(params, cfg, mode="int4")
+    server2.add_request(Request(0, prompts[0], max_new_tokens=5))
+    server2.add_request(
+        Request(1, prompts[1], max_new_tokens=5, temperature=1.5)
+    )
+    outs2 = {o.request_id: o for o in server2.run()}
+    assert outs2[1].token_ids == outs[1].token_ids
