@@ -43,8 +43,8 @@ class BlockManager:
             b = self._free.pop(0)
             self._table[seq_id, len(blocks)] = b
             blocks.append(b)
+            self._dirty = True  # only a new block changes the device table
         self._seq_len[seq_id] = num_tokens
-        self._dirty = True
 
     def free_seq(self, seq_id: int):
         blocks = self._seq_blocks.pop(seq_id, [])

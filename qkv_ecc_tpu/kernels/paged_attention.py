@@ -84,8 +84,10 @@ class _ChunkCopy:
     reconstructed identically at issue and wait sites."""
 
     def __init__(self, refs, bufs, sem, block_tables_ref, b, layer, chunk,
-                 slot, pages_per_chunk, max_pages):
+                 slot, pages_per_chunk, max_pages, with_scales=True):
         self._copies = []
+        if not with_scales:  # float codecs never read the scale pages
+            refs, bufs = refs[:2], bufs[:2]
         for i in range(pages_per_chunk):
             pidx = jnp.minimum(chunk * pages_per_chunk + i, max_pages - 1)
             phys = jnp.maximum(block_tables_ref[b, pidx], 0)
@@ -155,11 +157,18 @@ def _paged_attn_kernel(
             slot,
             pages_per_chunk,
             max_pages,
+            with_scales=codec not in ("fp16", "fp8"),
         )
 
     @pl.when(c == 0)
     def _warmup():
-        chunk_copy(0, 0).start()
+        # an empty row (ctx == 0) never processes chunk 0, so starting its
+        # DMAs would leave unconsumed signals on the shared semaphore and
+        # corrupt every later row's waits
+        @pl.when(ctx > 0)
+        def _prefetch_first():
+            chunk_copy(0, 0).start()
+
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
@@ -190,7 +199,8 @@ def _paged_attn_kernel(
             i_in_chunk = tok_page - c * pages_per_chunk
 
             @pl.when((tok_page >= c * pages_per_chunk)
-                     & (tok_page < (c + 1) * pages_per_chunk))
+                     & (tok_page < (c + 1) * pages_per_chunk)
+                     & (tok_page < max_pages))
             def _write_token():
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
                 is_tok = lane == tok_lane  # [1, bs]
@@ -198,41 +208,38 @@ def _paged_attn_kernel(
 
                     @pl.when(i_in_chunk == i)
                     def _overlay():
+                        # kn_ref[h] is a native [CW, 1] column (the wrapper
+                        # passes [B, H, CW, 1]). Mosaic broadcast-selects
+                        # want 32-bit operands, so roundtrip through f32
+                        # (exact for bf16/fp8) or i32 (integer caches).
+                        rt = (
+                            jnp.float32
+                            if codec in ("fp16", "fp8")
+                            else jnp.int32
+                        )
                         for h in range(num_kv_heads):
-                            # kn_ref[h] is a native [CW, 1] column (the
-                            # wrapper passes [B, H, CW, 1]); integer caches
-                            # roundtrip through i32 because Mosaic selects
-                            # need 32-bit operands for mixed-shape operands
-                            if codec in ("fp16", "fp8"):
-                                # f32 roundtrip (exact for bf16/fp8): Mosaic
-                                # broadcast-selects want 32-bit operands
-                                kcol = kn_ref[h].astype(jnp.float32)
-                                vcol = vn_ref[h].astype(jnp.float32)
-                                kpg = k_buf[slot, i, h].astype(jnp.float32)
-                                vpg = v_buf[slot, i, h].astype(jnp.float32)
-                                k_buf[slot, i, h] = jnp.where(
-                                    is_tok, kcol, kpg
-                                ).astype(k_buf.dtype)
-                                v_buf[slot, i, h] = jnp.where(
-                                    is_tok, vcol, vpg
-                                ).astype(v_buf.dtype)
-                            else:
-                                kcol = kn_ref[h].astype(jnp.int32)
-                                vcol = vn_ref[h].astype(jnp.int32)
-                                kpg = k_buf[slot, i, h].astype(jnp.int32)
-                                vpg = v_buf[slot, i, h].astype(jnp.int32)
-                                k_buf[slot, i, h] = jnp.where(
-                                    is_tok, kcol, kpg
-                                ).astype(k_buf.dtype)
-                                v_buf[slot, i, h] = jnp.where(
-                                    is_tok, vcol, vpg
-                                ).astype(v_buf.dtype)
-                        ks_buf[slot, i] = jnp.where(
-                            is_tok, ksn_ref[0][:, None], ks_buf[slot, i]
-                        )
-                        vs_buf[slot, i] = jnp.where(
-                            is_tok, vsn_ref[0][:, None], vs_buf[slot, i]
-                        )
+                            k_buf[slot, i, h] = jnp.where(
+                                is_tok,
+                                kn_ref[h].astype(rt),
+                                k_buf[slot, i, h].astype(rt),
+                            ).astype(k_buf.dtype)
+                            v_buf[slot, i, h] = jnp.where(
+                                is_tok,
+                                vn_ref[h].astype(rt),
+                                v_buf[slot, i, h].astype(rt),
+                            ).astype(v_buf.dtype)
+                        wb_pairs = [(k_buf, ko_ref), (v_buf, vo_ref)]
+                        if codec not in ("fp16", "fp8"):
+                            # float codecs carry no scales (their scale
+                            # pages are never DMA'd in, so writing the
+                            # scratch back would store garbage)
+                            ks_buf[slot, i] = jnp.where(
+                                is_tok, ksn_ref[0][:, None], ks_buf[slot, i]
+                            )
+                            vs_buf[slot, i] = jnp.where(
+                                is_tok, vsn_ref[0][:, None], vs_buf[slot, i]
+                            )
+                            wb_pairs += [(ks_buf, kso_ref), (vs_buf, vso_ref)]
                         phys = jnp.maximum(
                             block_tables_ref[b, tok_page], 0
                         )
@@ -240,12 +247,7 @@ def _paged_attn_kernel(
                             pltpu.make_async_copy(
                                 buf.at[slot, i], out.at[layer, phys], wsem
                             )
-                            for buf, out in (
-                                (k_buf, ko_ref),
-                                (v_buf, vo_ref),
-                                (ks_buf, kso_ref),
-                                (vs_buf, vso_ref),
-                            )
+                            for buf, out in wb_pairs
                         ]
                         for w in wb:
                             w.start()

@@ -154,6 +154,18 @@ class ContinuousBatchingServer:
         return self.num_active > 0 or len(self.waiting) > 0
 
     def add_request(self, request: Request):
+        total = len(request.prompt_ids) + request.max_new_tokens
+        if total > self.max_pages_per_seq * self.block_size:
+            raise ValueError(
+                f"request {request.request_id} needs {total} tokens > "
+                f"max_seq_len {self.max_pages_per_seq * self.block_size}"
+            )
+        pages = -(-total // self.block_size)
+        if pages > self.manager.num_blocks - 1:  # block 0 is the trash page
+            raise ValueError(
+                f"request {request.request_id} needs {pages} pages > "
+                f"{self.manager.num_blocks - 1} allocatable blocks"
+            )
         self.waiting.append(request)
 
     # -- admission (prefill) ---------------------------------------------
@@ -164,11 +176,17 @@ class ContinuousBatchingServer:
                 continue
             req = self.waiting[0]
             S = int(len(req.prompt_ids))
-            pages = -(-S // self.block_size)
+            # reserve the FULL lifetime (prompt + generation) up front so
+            # decode-time growth can never run out of blocks mid-serve
+            total = min(
+                S + req.max_new_tokens,
+                self.max_pages_per_seq * self.block_size,
+            )
+            pages = -(-total // self.block_size)
             if pages > self.manager.num_free_blocks:
                 break  # no memory; retry after something finishes
             self.waiting.pop(0)
-            self.manager.allocate(self._mgr_id(slot), S)
+            self.manager.allocate(self._mgr_id(slot), total)
             row = self._block_table()[slot : slot + 1]
             ids = jnp.asarray(req.prompt_ids, jnp.int32)[None, :]
             # single-sequence prefill into the SHARED cache arrays (the
@@ -226,8 +244,6 @@ class ContinuousBatchingServer:
             for s, st in enumerate(self.slots):
                 if st is not None:
                     tokens[s] = st.next_token
-                    # grow the page list to hold the token we're writing
-                    self.manager.allocate(self._mgr_id(s), st.context_len + 1)
             self.state["context_len"] = jnp.asarray(self._context_lens())
             logits, self.state = decode_step(
                 self.params,

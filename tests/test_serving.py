@@ -148,3 +148,35 @@ def test_per_request_temperature_sampling(tiny, rng):
     )
     outs2 = {o.request_id: o for o in server2.run()}
     assert outs2[1].token_ids == outs[1].token_ids
+
+
+def test_oversized_request_rejected(tiny, rng):
+    params, cfg = tiny
+    server = make_server(params, cfg, max_seq_len=64)
+    with pytest.raises(ValueError):
+        server.add_request(
+            Request(0, rng.integers(0, cfg.vocab_size, (60,)), max_new_tokens=10)
+        )
+    with pytest.raises(ValueError):
+        server.add_request(
+            Request(1, rng.integers(0, cfg.vocab_size, (100,)), max_new_tokens=1)
+        )
+
+
+def test_admission_reserves_generation_pages(tiny, rng):
+    """Admission reserves prompt+max_new pages up front so decode-time page
+    growth can never exhaust the pool mid-serve (two long-running requests
+    on a tight pool must serialize, not crash)."""
+    params, cfg = tiny
+    server = make_server(
+        params, cfg, max_batch=2, max_seq_len=48, num_blocks=4, block_size=16
+    )
+    # each request: 17-token prompt + 15 new = 32 tokens = 2 pages; only 3
+    # allocatable blocks -> the second must wait for the first to finish
+    for i in range(2):
+        server.add_request(
+            Request(i, rng.integers(0, cfg.vocab_size, (17,)), max_new_tokens=15)
+        )
+    outs = server.run()
+    assert sorted(o.request_id for o in outs) == [0, 1]
+    assert all(len(o.token_ids) == 15 for o in outs)
