@@ -41,6 +41,11 @@ from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
 from ..codecs.reference import golay_decode, hamming74_decode, hamming84_decode
 from ..kernels.common import golay_encode_i32, hamming74_encode_i32, hamming84_encode_i32
+from ..kernels.common import (
+    golay_decode_i32,
+    hamming74_decode_i32,
+    hamming84_decode_i32,
+)
 from ..kernels.paged_attention import paged_attention_ecc
 from .block_manager import BlockManager
 from .layout import ECCCacheConfig, allocate_ecc_kv_cache, pack_thirds, unpack_thirds
@@ -230,14 +235,20 @@ def _attend_general(
         if codec == "int4":
             return raw.astype(jnp.int32) & 0xF, None
         if codec == "hamming74":
-            data, _, corrected = hamming74_decode(raw)
-            stats["corrected"] = stats["corrected"] + corrected
-            return data.astype(jnp.int32), None
+            data, err = hamming74_decode_i32(raw.astype(jnp.int32))
+            stats["corrected"] = stats["corrected"] + jnp.sum(
+                err.astype(jnp.int32), dtype=jnp.int32
+            )
+            return data, None
         if codec == "hamming84":
-            data, et, corrected, detected = hamming84_decode(raw)
-            stats["corrected"] = stats["corrected"] + corrected
-            stats["detected"] = stats["detected"] + detected
-            return data.astype(jnp.int32), et
+            data, et = hamming84_decode_i32(raw.astype(jnp.int32))
+            stats["corrected"] = stats["corrected"] + jnp.sum(
+                (et == 1).astype(jnp.int32), dtype=jnp.int32
+            )
+            stats["detected"] = stats["detected"] + jnp.sum(
+                (et == 2).astype(jnp.int32), dtype=jnp.int32
+            )
+            return data, et
         raise ValueError(codec)
 
     if codec in ("fp16", "fp8"):
@@ -246,15 +257,23 @@ def _attend_general(
     elif codec == "golay":
 
         def golay_path(raw):
-            # golay_decode preserves uncorrectable data (the reference's
-            # python-path semantics, golay_triton.py:267-271)
-            trip, _cnt, corrected_bits, uncorrectable = golay_decode(raw)
-            stats["corrected"] = stats["corrected"] + corrected_bits
-            stats["detected"] = stats["detected"] + uncorrectable
-            # trip: [T, H, cw, 3] nibbles; third-partitioned planes
+            # arithmetic IMLD decode, preserving uncorrectable data (the
+            # reference's python-path semantics, golay_triton.py:267-271).
+            # The syndrome-LUT oracle costs one 4096-entry gather per
+            # codeword - far slower on the TPU VPU.
+            data12, cnt = golay_decode_i32(
+                raw.astype(jnp.int32), _B_MASKS, zero_uncorrectable=False
+            )
+            stats["corrected"] = stats["corrected"] + jnp.sum(
+                jnp.where(cnt < 4, cnt, 0), dtype=jnp.int32
+            )
+            stats["detected"] = stats["detected"] + jnp.sum(
+                (cnt == 4).astype(jnp.int32), dtype=jnp.int32
+            )
             planes = jnp.concatenate(
-                [trip[..., 0], trip[..., 1], trip[..., 2]], axis=-1
-            ).astype(jnp.int32)
+                [(data12 >> 0) & 0xF, (data12 >> 4) & 0xF, (data12 >> 8) & 0xF],
+                axis=-1,
+            )
             return planes[..., :head_dim]
 
         k_nib = golay_path(k_raw)

@@ -25,6 +25,9 @@ from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
 from ..codecs.reference import golay_decode, hamming74_decode, hamming84_decode
 from ..kernels.common import (
+    golay_decode_i32,
+    hamming74_decode_i32,
+    hamming84_decode_i32,
     golay_encode_i32,
     hamming74_encode_i32,
     hamming84_encode_i32,
@@ -153,19 +156,33 @@ def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int, seq_axis: int
         dec = enc & 0xF
         corrected = detected = zero
     elif codec == "hamming74":
-        dec_u8, _, corrected = hamming74_decode(enc.astype(jnp.uint8))
+        # arithmetic decoders throughout the runtime: the jnp reference
+        # decoders gather from LUT arrays, which lowers to a slow XLA
+        # gather per element on TPU (they remain the test oracles)
+        dec, err = hamming74_decode_i32(enc.astype(jnp.int32))
+        corrected = jnp.sum(err.astype(jnp.int32), dtype=jnp.int32)
         detected = zero
-        dec = dec_u8.astype(jnp.int32)
     elif codec == "hamming84":
-        dec_u8, et, corrected, detected = hamming84_decode(enc.astype(jnp.uint8))
+        dec, et = hamming84_decode_i32(enc.astype(jnp.int32))
+        corrected = jnp.sum((et == 1).astype(jnp.int32), dtype=jnp.int32)
+        detected = jnp.sum((et == 2).astype(jnp.int32), dtype=jnp.int32)
         if policy.use_interpolation:
-            dec_u8 = interpolate_double_errors(dec_u8, et, seq_dim=seq_axis)
-        dec = dec_u8.astype(jnp.int32)
+            dec = interpolate_double_errors(
+                dec.astype(jnp.uint8), et, seq_dim=seq_axis
+            ).astype(jnp.int32)
     elif codec == "golay":
-        trip, _cnt, corrected, detected = golay_decode(enc)
+        # arithmetic IMLD decode: the syndrome-LUT oracle (codecs.golay_decode)
+        # costs one 4096-entry XLA gather per codeword - orders of magnitude
+        # slower on the TPU VPU than the popcount/select chain
+        data12, cnt = golay_decode_i32(
+            enc.astype(jnp.int32), _B_MASKS, zero_uncorrectable=False
+        )
+        corrected = jnp.sum(jnp.where(cnt < 4, cnt, 0), dtype=jnp.int32)
+        detected = jnp.sum((cnt == 4).astype(jnp.int32), dtype=jnp.int32)
         planes = jnp.concatenate(
-            [trip[..., 0], trip[..., 1], trip[..., 2]], axis=-1
-        ).astype(jnp.int32)
+            [(data12 >> 0) & 0xF, (data12 >> 4) & 0xF, (data12 >> 8) & 0xF],
+            axis=-1,
+        )
         dec = planes[..., :head_dim]
     else:
         raise ValueError(f"Unknown codec: {codec}")
