@@ -61,7 +61,9 @@ class ECCEngineConfig:
 
     codec: str = "hamming84"
     ber: float = 0.0
-    block_size: int = 16
+    # 128 tokens/block: the fused attention kernel requires
+    # block_size % 128 == 0 on real TPUs (token-minor lane alignment)
+    block_size: int = 128
     num_blocks: int = 256
     inject_errors: bool = False
     seed: int = 42

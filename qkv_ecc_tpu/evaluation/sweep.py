@@ -73,6 +73,28 @@ class SweepConfig:
     def with_timing(cls) -> "SweepConfig":
         return cls(enable_timing=True, warmup_iterations=3)
 
+    def fingerprint(self, model_cfg=None, texts=None) -> str:
+        """Stable hash of everything that determines a trial's result.
+
+        Stored with each checkpoint record so a resumed sweep only reuses
+        trials produced by an identical experiment (same eval protocol, model
+        and data) - resuming into the same output_dir after changing
+        max_length/texts/model must recompute, not silently reuse."""
+        import hashlib
+
+        parts = [
+            f"max_length={self.max_length}",
+            f"stride={self.stride}",
+            f"block_size={self.block_size}",
+            f"catastrophic_threshold={self.catastrophic_threshold}",
+        ]
+        if model_cfg is not None:
+            parts.append(f"model={model_cfg}")
+        if texts is not None:
+            h = hashlib.sha256("\x00".join(texts).encode()).hexdigest()[:16]
+            parts.append(f"texts={len(texts)}:{h}")
+        return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
 
 @dataclasses.dataclass
 class TrialResult:
@@ -320,9 +342,13 @@ def run_single_trial(
     )
 
 
-def load_sweep_checkpoint(path) -> Dict[tuple, TrialResult]:
+def load_sweep_checkpoint(path, fingerprint: str = None) -> Dict[tuple, TrialResult]:
     """Load completed trials from a JSONL checkpoint, keyed by
-    (cache_mode, ber, seed)."""
+    (cache_mode, ber, seed).
+
+    Records carrying a `config_fingerprint` that mismatches `fingerprint`
+    are skipped (stale results from a different experiment config); legacy
+    records without one are accepted only when no fingerprint is required."""
     import json
     import os
 
@@ -335,17 +361,24 @@ def load_sweep_checkpoint(path) -> Dict[tuple, TrialResult]:
             line = line.strip()
             if not line:
                 continue
-            rec = {k: v for k, v in json.loads(line).items() if k in trial_fields}
+            raw = json.loads(line)
+            if fingerprint is not None:
+                if raw.get("config_fingerprint") != fingerprint:
+                    continue
+            rec = {k: v for k, v in raw.items() if k in trial_fields}
             t = TrialResult(**rec)
             done[(t.cache_mode, t.ber, t.seed)] = t
     return done
 
 
-def _append_checkpoint(path, trial: TrialResult):
+def _append_checkpoint(path, trial: TrialResult, fingerprint: str = None):
     import json
 
+    rec = dataclasses.asdict(trial)
+    if fingerprint is not None:
+        rec["config_fingerprint"] = fingerprint
     with open(path, "a") as fh:
-        fh.write(json.dumps(dataclasses.asdict(trial)) + "\n")
+        fh.write(json.dumps(rec) + "\n")
 
 
 def run_sweep(
@@ -355,7 +388,8 @@ def run_sweep(
     if config is None:
         config = SweepConfig.default()
     results = SweepResults(config=config)
-    completed = load_sweep_checkpoint(config.checkpoint_path)
+    fingerprint = config.fingerprint(model_cfg=model_cfg, texts=texts)
+    completed = load_sweep_checkpoint(config.checkpoint_path, fingerprint)
     total = len(config.cache_modes) * len(config.ber_levels) * len(config.seeds)
     current = 0
     for cache_mode in config.cache_modes:
@@ -375,7 +409,9 @@ def run_sweep(
                         seed, config,
                     )
                     if config.checkpoint_path:
-                        _append_checkpoint(config.checkpoint_path, trial)
+                        _append_checkpoint(
+                            config.checkpoint_path, trial, fingerprint
+                        )
                 results.trials.append(trial)
                 trials.append(trial)
                 current += 1

@@ -170,9 +170,16 @@ def time_fn_chained(fn, x, *args, iters: int = 20, warmup: int = 3,
 
     @jax.jit
     def chain(prev_x, out_scalar):
+        # zero the output scalar with an op valid for ITS dtype (an integer
+        # input fn may return float output, and vice versa), then fold into
+        # prev_x with an op valid for prev_x's dtype
+        if jnp.issubdtype(out_scalar.dtype, jnp.floating):
+            zero = (out_scalar * 0).astype(prev_x.dtype)
+        else:
+            zero = (out_scalar & 0).astype(prev_x.dtype)
         if jnp.issubdtype(prev_x.dtype, jnp.floating):
-            return prev_x + (out_scalar * 0).astype(prev_x.dtype)
-        return prev_x ^ (out_scalar & 0).astype(prev_x.dtype)
+            return prev_x + zero
+        return prev_x ^ zero
 
     r = x
     for _ in range(warmup):

@@ -43,13 +43,14 @@ def llama_param_specs(cfg: ModelConfig) -> dict:
 
 
 def gpt2_param_specs(cfg: ModelConfig) -> dict:
-    # c_attn packs Q|K|V along the output dim; sharding it on "model" splits
-    # each of Q, K, V by heads only if the model-axis size divides num_heads
-    # AND the three segments are sharded independently. We therefore keep
-    # c_attn column-sharded per-segment via P(None, "model") on each third -
-    # represented here as a whole-tensor P(None, "model"), valid because
-    # jnp.split(q,k,v) happens *after* the matmul on the local shard in the
-    # shard_map runtime (each device holds a third of each segment).
+    # GPT-2's c_attn packs Q|K|V along its output dim, so a plain
+    # P(None, "model") column shard would cut across the Q/K/V boundary
+    # instead of splitting each segment by heads. Attention weights are
+    # therefore REPLICATED (attention runs fully on each shard) and only the
+    # MLP is tensor-parallel. GPT-2 TP is correspondingly guarded off in
+    # tp_runtime (it is a single-chip 124M model; TP targets the llama
+    # family). A proper GPT-2 TP would pre-split c_attn into three
+    # head-sharded segments at conversion time.
     layer = {
         "ln_1": {"g": P(), "b": P()},
         "ln_2": {"g": P(), "b": P()},

@@ -77,6 +77,8 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     vk = jax.random.fold_in(vk, shard)
     kc, ks, _ = encode_kv(k, policy, kk)
     vc, vs, _ = encode_kv(v, policy, vk)
+    if ks is None:  # float codecs (fp16/fp8) carry no dequant scales
+        ks = vs = jnp.ones(kc.shape[:3], jnp.float32)
 
     if fused_attend:
         # fused write+attend: in-place aliased cache update, decode-phase
@@ -137,11 +139,15 @@ def _lm_head_tp(params, x, cfgl: ModelConfig):
 
 
 def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
-                      block_size: int = 16):
+                      block_size: int = 128):
     """Build (init_state, prefill, decode_step) closed over the mesh.
 
     All three are pjit-compiled with NamedShardings; prefill/decode run under
     shard_map with the two-psum-per-layer TP scheme.
+
+    block_size defaults to 128: the fused write+attend kernel requires
+    block_size % 128 == 0 on real TPUs (token-minor lane alignment) - smaller
+    values only work in the CPU interpreter.
     """
     if cfg.arch != "llama":
         raise NotImplementedError("TP runtime supports the llama family")
@@ -229,7 +235,7 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
 
 def generate_tp(
     params, input_ids, cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
-    max_new_tokens: int = 16, block_size: int = 16,
+    max_new_tokens: int = 16, block_size: int = 128,
 ):
     """Greedy TP generation across the mesh."""
     from .sharding import shard_params
