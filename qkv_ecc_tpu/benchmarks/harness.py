@@ -161,12 +161,17 @@ def build_decode_attention_case(
     rng = np.random.default_rng(seed)
     cache = allocate_ecc_kv_cache(cfg)
     shape = cache["k_cache"].shape
-    if codec == "golay":
-        raw = rng.integers(0, 1 << 24, shape, dtype=np.int64).astype(np.int32)
+    if codec in ("fp16", "fp8"):
+        raw = rng.normal(size=shape).astype(np.float32)
+        cache["k_cache"] = jnp.asarray(raw, cfg.cache_dtype)
+        cache["v_cache"] = jnp.asarray(raw, cfg.cache_dtype)
     else:
-        raw = rng.integers(0, 256, shape, dtype=np.int64).astype(np.uint8)
-    cache["k_cache"] = jnp.asarray(raw)
-    cache["v_cache"] = jnp.asarray(raw)
+        # random packed int32 storage words = random codeword bits
+        raw = rng.integers(-(2**31), 2**31, shape, dtype=np.int64).astype(
+            np.int32
+        )
+        cache["k_cache"] = jnp.asarray(raw)
+        cache["v_cache"] = jnp.asarray(raw)
     cache["k_scales"] = jnp.asarray(
         rng.uniform(0.05, 0.2, cache["k_scales"].shape).astype(np.float32)
     )

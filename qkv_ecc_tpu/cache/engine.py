@@ -39,16 +39,15 @@ import numpy as np
 from ..codecs.algebra import ErrorType, GOLAY_B_ROW_MASKS
 from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
-from ..codecs.reference import golay_decode, hamming74_decode, hamming84_decode
-from ..kernels.common import golay_encode_i32, hamming74_encode_i32, hamming84_encode_i32
 from ..kernels.common import (
     golay_decode_i32,
     hamming74_decode_i32,
     hamming84_decode_i32,
 )
+from ..kernels import swar
 from ..kernels.paged_attention import paged_attention_ecc
 from .block_manager import BlockManager
-from .layout import ECCCacheConfig, allocate_ecc_kv_cache, pack_thirds, unpack_thirds
+from .layout import ECCCacheConfig, allocate_ecc_kv_cache
 
 _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 
@@ -119,23 +118,11 @@ def _write_step(
         q = jnp.clip(jnp.round(x / scale[..., None]), -8, 7) + 8
         return q.astype(jnp.int32), scale.astype(jnp.float32)
 
-    def encode(q):
-        if codec == "int4":
-            return q.astype(jnp.uint8)
-        if codec == "hamming74":
-            return hamming74_encode_i32(q).astype(jnp.uint8)
-        if codec == "hamming84":
-            return hamming84_encode_i32(q).astype(jnp.uint8)
-        if codec == "golay":
-            pad = (-head_dim) % 3
-            qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad)))
-            return golay_encode_i32(pack_thirds(qp), _B_MASKS)
-        raise ValueError(codec)
-
     kq, ks = quantize(k.astype(jnp.float32))
     vq, vs = quantize(v.astype(jnp.float32))
-    kc = encode(kq)
-    vc = encode(vq)
+    # logical per-value codewords (the fault-injection domain)
+    kc = swar.encode_codewords(codec, kq, head_dim)
+    vc = swar.encode_codewords(codec, vq, head_dim)
 
     k_flips = jnp.zeros((), jnp.int32)
     v_flips = jnp.zeros((), jnp.int32)
@@ -146,8 +133,13 @@ def _write_step(
         vm = flip_mask_for(vk, vc.shape, ber, n_bits)
         k_flips = jnp.sum(jax.lax.population_count(km), dtype=jnp.int32)
         v_flips = jnp.sum(jax.lax.population_count(vm), dtype=jnp.int32)
-        kc = (kc.astype(jnp.int32) ^ km).astype(kc.dtype)
-        vc = (vc.astype(jnp.int32) ^ vm).astype(vc.dtype)
+        kc = kc ^ km
+        vc = vc ^ vm
+
+    # pack logical codewords into int32 storage words (pure bit relabeling;
+    # injection above already happened on the codeword bits)
+    kc = swar.pack_codewords(codec, kc, head_dim)
+    vc = swar.pack_codewords(codec, vc, head_dim)
 
     # scatter (token-minor layout): cache[layer, phys[s], h, :, slot[s]] = cw[s, h, :]
     k_cache = k_cache.at[layer_idx, phys_blocks, :, :, slots].set(kc)
@@ -225,6 +217,10 @@ def _attend_general(
 
     k_raw = gather(k_cache)
     v_raw = gather(v_cache)
+    if codec not in ("fp16", "fp8"):
+        # packed int32 storage words -> logical per-value codewords
+        k_raw = swar.unpack_codewords(codec, k_raw, head_dim)
+        v_raw = swar.unpack_codewords(codec, v_raw, head_dim)
 
     stats = {
         "corrected": jnp.zeros((), jnp.int32),
@@ -272,17 +268,18 @@ def _attend_general(
             stats["detected"] = stats["detected"] + jnp.sum(
                 (cnt == 4).astype(jnp.int32), dtype=jnp.int32
             )
-            planes = jnp.concatenate(
-                [(data12 >> 0) & 0xF, (data12 >> 4) & 0xF, (data12 >> 8) & 0xF],
-                axis=-1,
-            )
-            return planes[..., :head_dim]
+            return swar.golay_unpack_thirds(data12)[..., :head_dim]
 
         k_nib = golay_path(k_raw)
         v_nib = golay_path(v_raw)
     else:
         k_nib, k_et = decode(k_raw)
         v_nib, v_et = decode(v_raw)
+        k_nib = k_nib[..., :head_dim]
+        v_nib = v_nib[..., :head_dim]
+        if k_et is not None:
+            k_et = k_et[..., :head_dim]
+            v_et = v_et[..., :head_dim]
         if codec == "hamming84" and use_interpolation:
             k_nib = interpolate_double_errors(
                 k_nib.astype(jnp.uint8), k_et, seq_dim=0
@@ -455,10 +452,8 @@ class ECCEngine:
             flips = int(kf) + int(vf)
             self._bits_flipped += flips
             n_bits = CODEC_N_BITS[self.config.codec]
-            if self.config.codec == "golay":
-                rows = -(-self.head_dim // 3)
-            else:
-                rows = self.head_dim
+            pv = swar.padded_values(self.config.codec, self.head_dim)
+            rows = pv // 3 if self.config.codec == "golay" else pv
             self._total_bits += 2 * S * self.num_kv_heads * rows * n_bits
 
     # --- attend -----------------------------------------------------------

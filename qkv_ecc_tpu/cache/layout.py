@@ -3,23 +3,24 @@
 TPU-native redesign of the reference's memory layout
 (kv_cache/memory_layout.py). Differences, by design:
 
-  * Per-layer cache arrays shaped [num_blocks, num_kv_heads, CW, block_size]
+  * Per-layer cache arrays shaped [num_blocks, num_kv_heads, W, block_size]
     - TOKENS ON THE MINOR DIMENSION (the reference used [blocks, layers,
     heads, flat] with tokens major). Three reasons, all TPU-hardware driven:
     (a) Mosaic requires the minor dim of HBM slices to be 128-lane aligned,
     so a block_size of 128 makes every (block, head) page directly DMA-able
-    regardless of the codec's codeword count (Golay's 43 int32 codewords per
-    row could never satisfy lane alignment as a minor dim); (b) the decoded
-    page IS K-transposed [head_dim, tokens], exactly the RHS the QK^T matmul
-    wants - no in-kernel transpose; (c) per-token scales broadcast along
-    sublanes for free. The layer dimension is stacked on axis 0 of a single
-    array per cache so one dynamic-slice selects a layer under jit.
-  * Golay packing is THIRD-PARTITIONED, not adjacent-triplet: codeword j of a
-    head-dim row protects values (j, j + CW, j + 2*CW). Decoding a block then
-    yields three contiguous [block_size, CW] nibble planes that concatenate
-    along lanes - no stride-3 interleave on the VPU. Protection statistics are
-    identical (any 3 values per 24-bit codeword); only the mapping differs
-    from the reference's adjacent triplets (kv_cache/ecc_shim.py:678).
+    regardless of the codec's word count; (b) the decoded page IS
+    K-transposed [head_dim, tokens], exactly the RHS the QK^T matmul wants -
+    no in-kernel transpose; (c) per-token scales broadcast along sublanes
+    for free. The layer dimension is stacked on axis 0 of a single array per
+    cache so one dynamic-slice selects a layer under jit.
+  * Storage is BIT-PACKED int32 words (kernels/swar.py): int4 8 values/word
+    (4.0 bits/value), hamming74 bit-sliced 7 planes (7.0), hamming84 4 byte
+    codewords/word (8.0), golay 4 codewords / 3 words (8.0). The reference
+    stored one codeword per uint8/int32 element, wasting bit 7 of every
+    Hamming byte and 8/32 bits of every Golay word
+    (ecc_codecs/triton_kernels/config.py:41-70); round 1 of this framework
+    did the same. Packing halves the unprotected-INT4 decode step's KV
+    traffic and lets the fused kernel decode 4-32 values per VPU op.
   * Scales are [num_blocks, num_kv_heads, block_size] fp32 (per token per
     head), matching the reference's per-position scale granularity.
 """
@@ -27,24 +28,18 @@ TPU-native redesign of the reference's memory layout
 from __future__ import annotations
 
 import dataclasses
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
+from ..kernels.swar import padded_values, row_words as _row_words
+
 CODEC_CHOICES = ("fp16", "fp8", "int4", "hamming74", "hamming84", "golay")
 
 
-def golay_codewords_per_row(head_dim: int) -> int:
-    return -(-head_dim // 3)
-
-
 def cache_dtype_for(codec: str):
-    if codec in ("int4", "hamming74", "hamming84"):
-        return jnp.uint8
-    if codec == "golay":
-        return jnp.int32
+    if codec in ("int4", "hamming74", "hamming84", "golay"):
+        return jnp.int32  # bit-packed storage words
     if codec == "fp16":
         return jnp.bfloat16  # TPU-native 16-bit float
     if codec == "fp8":
@@ -53,14 +48,17 @@ def cache_dtype_for(codec: str):
 
 
 def storage_bits_per_value(codec: str) -> float:
-    """Logical bits per protected value (reference memory_layout.py:39)."""
+    """PHYSICAL bits per protected value in the packed layout (the
+    reference's memory_layout.py:39 reported these same numbers but its
+    storage spent 8/8/8/10.67 - it allocated a full uint8/int32 element per
+    codeword)."""
     return {
         "fp16": 16.0,
         "fp8": 8.0,
-        "int4": 8.0,  # one uint8 slot per nibble in the baseline layout
-        "hamming74": 8.0,  # 7-bit codeword in a uint8 slot
+        "int4": 4.0,
+        "hamming74": 7.0,
         "hamming84": 8.0,
-        "golay": 32.0 / 3.0,  # 24-bit codeword/3 values in an int32 slot
+        "golay": 8.0,  # 24 bits / 3 values, packed 4 codewords per 3 words
     }[codec]
 
 
@@ -70,7 +68,7 @@ class ECCCacheConfig:
     (reference kv_cache/memory_layout.py:5)."""
 
     num_blocks: int = 256
-    block_size: int = 16
+    block_size: int = 128
     num_layers: int = 12
     num_kv_heads: int = 12
     head_dim: int = 64
@@ -84,18 +82,15 @@ class ECCCacheConfig:
             )
 
     @property
-    def row_codewords(self) -> int:
-        """Storage elements per (token, head) row."""
-        if self.codec == "golay":
-            return golay_codewords_per_row(self.head_dim)
-        return self.head_dim
+    def row_words(self) -> int:
+        """Storage elements per (token, head) row: packed int32 words for
+        the integer codecs, raw values for fp16/fp8."""
+        return _row_words(self.codec, self.head_dim)
 
     @property
     def padded_head_dim(self) -> int:
         """head_dim rounded up to the codec's packing granularity."""
-        if self.codec == "golay":
-            return 3 * self.row_codewords
-        return self.head_dim
+        return padded_values(self.codec, self.head_dim)
 
     @property
     def cache_dtype(self):
@@ -106,21 +101,13 @@ class ECCCacheConfig:
         return self.codec not in ("fp16", "fp8")
 
     @property
-    def codewords_per_block(self) -> int:
-        return self.block_size * self.row_codewords
+    def words_per_block(self) -> int:
+        return self.block_size * self.row_words
 
     @property
     def storage_overhead_vs_int4(self) -> float:
         """Bit overhead relative to bare INT4 (reference memory_layout.py:39)."""
-        bits = {
-            "fp16": 16,
-            "fp8": 8,
-            "int4": 4,
-            "hamming74": 7,
-            "hamming84": 8,
-            "golay": 8,
-        }[self.codec]
-        return bits / 4.0
+        return storage_bits_per_value(self.codec) / 4.0
 
     @property
     def max_tokens(self) -> int:
@@ -134,7 +121,7 @@ class ECCCacheConfig:
             self.num_layers,
             self.num_blocks,
             self.num_kv_heads,
-            self.row_codewords,
+            self.row_words,
             self.block_size,
         )
 
@@ -176,19 +163,3 @@ def compute_slot_mapping(positions, block_size: int):
     """token position -> (logical_block, slot) (reference memory_layout.py:101)."""
     positions = jnp.asarray(positions)
     return positions // block_size, positions % block_size
-
-
-def pack_thirds(nibbles: jax.Array) -> jax.Array:
-    """Pack [..., padded_head_dim] INT4 values into [..., CW] 12-bit words
-    using third-partitioned packing: word j = x[j] | x[j+CW]<<4 | x[j+2CW]<<8."""
-    n = nibbles.astype(jnp.int32) & 0xF
-    cw = n.shape[-1] // 3
-    return n[..., :cw] | (n[..., cw : 2 * cw] << 4) | (n[..., 2 * cw :] << 8)
-
-
-def unpack_thirds(data12: jax.Array) -> jax.Array:
-    """Inverse of pack_thirds: [..., CW] -> [..., 3*CW] uint8 nibbles."""
-    d = data12.astype(jnp.int32)
-    return jnp.concatenate(
-        [(d >> 0) & 0xF, (d >> 4) & 0xF, (d >> 8) & 0xF], axis=-1
-    ).astype(jnp.uint8)

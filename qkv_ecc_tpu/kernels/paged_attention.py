@@ -2,35 +2,43 @@
 
 TPU-native redesign of the reference's fused Triton kernel
 (kv_cache/attention_ecc.py:264 `paged_attention_ecc_kernel`). Decode-phase
-attention (q_len == 1 per sequence): loads ECC codewords from the paged HBM
-cache, decodes them inline (SECDED bit-twiddling or the arithmetic Golay
-decoder), dequantizes, and accumulates an online softmax - decoded K/V are
-never materialized in HBM.
+attention (q_len == 1 per sequence): loads bit-packed ECC codeword words from
+the paged HBM cache, decodes them inline with SWAR/bit-sliced arithmetic
+(kernels/swar.py), dequantizes, and accumulates an online softmax - decoded
+K/V are never materialized in HBM.
 
 Key differences from the reference (deliberate, TPU-first):
-  * Token-minor page layout [heads, codewords, block_size]: the minor dim of
+  * Token-minor page layout [heads, words, block_size]: the minor dim of
     every HBM page slice is the 128-token block, so pages are DMA-able for
-    ANY codec codeword count (Mosaic requires 128-lane-aligned minor dims),
-    and the decoded page arrives as K^T [head_dim, tokens] - exactly the RHS
-    layout the QK^T matmul wants. Per-token scales broadcast along sublanes.
+    ANY codec word count (Mosaic requires 128-lane-aligned minor dims), and
+    the decoded page arrives as K^T [head_dim, tokens] - exactly the RHS
+    layout the QK^T matmul wants.
+  * BIT-PACKED storage + SWAR decode: int4 packs 8 values and hamming84 4
+    codewords per int32 word, so one VPU op decodes 4-8 values (the
+    reference decoded one codeword per thread-lane and stored one codeword
+    per uint8, wasting bit 7; config.py:41-70). pltpu.bitcast's int32->int8
+    sublane interleave turns the decoded byte-slot nibbles into head-dim-
+    ordered K^T sublanes for free - no shift network, no sublane concat.
   * Grid = (batch, chunk) where one chunk is `pages_per_chunk` KV pages of
     ALL KV heads. The kernel hand-issues the HBM->VMEM page DMAs (block-table
     indirection on the scalar core) into a double-buffered VMEM scratch, so
-    chunk c+1 streams in while chunk c is decoded and accumulated. The
-    reference hand-rolled a per-token pointer loop instead
-    (attention_ecc.py:346-421); a per-page Pallas BlockSpec pipeline was
-    measured ~8x slower than manual chunked DMA (tiny 2KB tiles stall the
-    DMA engine).
+    chunk c+1 streams in while chunk c is decoded and accumulated. A
+    per-page Pallas BlockSpec pipeline was measured ~8x slower than manual
+    chunked DMA (tiny tiles stall the DMA engine).
   * GQA is native: each chunk step attends all query heads against the
-    shared pages (the reference materialized K/V per query head via
-    repeat_interleave in its Python path).
+    shared pages.
   * Golay IS fused: the arithmetic IMLD decoder replaces the 4096-entry
     syndrome LUT, which is what kept Golay out of the reference's fused
-    kernel (attention_ecc.py:759-775 falls back to Python). With the
-    token-minor layout the three decoded nibble planes concatenate along
-    SUBLANES (vreg stacking), not lanes - no shift network.
+    kernel (attention_ecc.py:759-775 falls back to Python). Codewords are
+    packed 4-per-3-words (8.0 bits/value); the query is pre-permuted into
+    storage-lane order (with zero holes) OUTSIDE the kernel so the QK^T and
+    PV matmuls run straight on the bitcast nibble tiles.
   * Online softmax state lives in VMEM scratch that persists across the
     sequential chunk dimension of the grid (flash-decoding style).
+  * Optional in-kernel error counters (collect_stats=True): per-sequence
+    corrected/detected counts matching the jnp decode path's accounting
+    (reference get_ecc_stats, ecc_shim.py:1627-1642), masked to valid
+    context tokens, accumulated in SMEM across chunks.
 
 Supported codecs: int4 (unprotected), hamming74, hamming84, golay, plus the
 float baseline arms fp16 (bf16 on TPU) and fp8 (no decode, no scales). Like
@@ -50,31 +58,95 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..codecs.algebra import GOLAY_B_ROW_MASKS
 from . import common as C
+from . import swar
 
 _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 _NEG_INF = -1e30
 
 
-def _decode_tile_t(codec: str, raw, head_dim: int):
-    """Decode a token-minor [..., row_codewords, block_size] tile of raw
-    codewords -> int32 nibbles [..., head_dim, block_size] (i.e. K^T)."""
-    x = raw.astype(jnp.int32)
+def _i32(x):
+    return x.astype(jnp.int32)
+
+
+def _golay_cw_tile(x):
+    """Byte-plane packed golay words [3G, bs] -> 24-bit codeword tile
+    [4G, bs]: one bitcast per byte plane (sublane expansion for free, see
+    swar.golay_pack4), then three shift-ors."""
+    G = x.shape[0] // 3
+    cw = None
+    for p in range(3):
+        b = _i32(pltpu.bitcast(x[p * G : (p + 1) * G], jnp.int8)) & 0xFF
+        b = b << (8 * p)
+        cw = b if cw is None else cw | b
+    return cw
+
+
+def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
+    """Decode one packed page tile [W, bs] -> ONE K^T value tile
+    [head_dim, bs] in op_t, head-dim order (packing padding sliced off).
+    Nibbles optionally shifted by the -8 zero point (exact in bf16).
+
+    Every codec's value mapping is chosen so the decoded tile is IDENTITY-
+    ordered over the head dim - the query needs no permutation and the
+    QK^T/PV contractions are single head_dim-deep MXU passes."""
+    z = 8 if minus8 else 0
+
+    def fin(t):  # int8/int32 nibble tile -> op_t, sliced to head_dim
+        return (_i32(t[:head_dim]) - z).astype(op_t)
+
+    x = _i32(raw)
     if codec == "int4":
-        return x & 0xF
-    if codec == "hamming74":
-        return C.hamming74_correct_data_i32(x)
+        lo, hi = swar.int4_split(x)
+        # [lo; hi] int8 view = identity value order over [0, D)
+        return fin(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
     if codec == "hamming84":
-        return C.hamming84_correct_data_i32(x)
+        return fin(pltpu.bitcast(swar.h84_swar_correct_data(x), jnp.int8))
+    if codec == "hamming74":
+        G = x.shape[0] // 7
+        planes, _ = swar.h74_sliced_correct_planes(x, G)
+        return fin(swar.h74_sliced_unpack_values(planes, G))
     if codec == "golay":
-        data12 = C.golay_correct_data_i32(x, _B_MASKS)
-        # third-partitioned packing: three nibble planes, stacked along the
-        # codeword (sublane) dim -> [..., 3*CW, bs]
+        cw = _golay_cw_tile(x)
+        d12 = C.golay_correct_data_i32(cw, _B_MASKS)  # [C4, bs]
+        # third-partitioned nibble planes stack along sublanes into
+        # head-dim order (swar.golay_pack_thirds)
         planes = jnp.concatenate(
-            [(data12 >> 0) & 0xF, (data12 >> 4) & 0xF, (data12 >> 8) & 0xF],
-            axis=-2,
+            [d12 & 0xF, (d12 >> 4) & 0xF, (d12 >> 8) & 0xF], axis=0
         )
-        return planes[..., :head_dim, :]
+        return fin(planes)
     raise ValueError(f"fused kernel does not support codec '{codec}'")
+
+
+def _count_errors(codec, raw, valid_lanes):
+    """(corrected, detected) scalars for one packed page tile [W, bs],
+    masked to valid context tokens (valid_lanes: [1, bs] int32 0/1).
+
+    Matches the jnp decode path's accounting: hamming74 counts nonzero
+    syndromes as corrected; hamming84 counts singles/doubles; golay counts
+    corrected BITS (error_count 1-3) and uncorrectable events."""
+    pc = jax.lax.population_count
+    x = _i32(raw)
+    zero = jnp.zeros((), jnp.int32)
+    if codec == "int4":
+        return zero, zero
+    if codec == "hamming84":
+        _, single, double = swar.h84_swar_decode(x)
+        corrected = jnp.sum(pc(single * valid_lanes), dtype=jnp.int32)
+        detected = jnp.sum(pc(double * valid_lanes), dtype=jnp.int32)
+        return corrected, detected
+    if codec == "hamming74":
+        G = x.shape[0] // 7
+        _, errmask = swar.h74_sliced_correct_planes(x, G)
+        corrected = jnp.sum(pc(errmask * valid_lanes), dtype=jnp.int32)
+        return corrected, zero
+    if codec == "golay":
+        cw = _golay_cw_tile(x)
+        _, cnt = C.golay_decode_i32(cw, _B_MASKS, zero_uncorrectable=True)
+        cnt = cnt * valid_lanes
+        corrected = jnp.sum(jnp.where(cnt < 4, cnt, 0), dtype=jnp.int32)
+        detected = jnp.sum((cnt == 4).astype(jnp.int32), dtype=jnp.int32)
+        return corrected, detected
+    return zero, zero
 
 
 class _ChunkCopy:
@@ -112,7 +184,7 @@ def _paged_attn_kernel(
     layer_ref,
     block_tables_ref,
     context_lens_ref,
-    # VMEM/HBM inputs + outputs + scratch (layout depends on fused_write)
+    # VMEM/HBM inputs + outputs + scratch (layout depends on flags)
     *refs,
     codec: str,
     block_size: int,
@@ -126,17 +198,27 @@ def _paged_attn_kernel(
     precision: str,
     fused_write: bool,
     interpolate: bool,
+    collect_stats: bool,
 ):
+    refs = list(refs)
     if fused_write:
         (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
-         k_hbm, v_hbm, ks_hbm, vs_hbm,
-         out_ref, ko_ref, vo_ref, kso_ref, vso_ref,
-         k_buf, v_buf, ks_buf, vs_buf, sem, wsem,
-         m_scr, l_scr, acc_scr) = refs
+         k_hbm, v_hbm, ks_hbm, vs_hbm) = refs[:9]
+        del refs[:9]
+        out_ref, ko_ref, vo_ref, kso_ref, vso_ref = refs[:5]
+        del refs[:5]
     else:
-        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, out_ref,
-         k_buf, v_buf, ks_buf, vs_buf, sem,
-         m_scr, l_scr, acc_scr) = refs
+        q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm = refs[:5]
+        del refs[:5]
+        out_ref = refs.pop(0)
+    stats_ref = refs.pop(0) if collect_stats else None
+    if fused_write:
+        k_buf, v_buf, ks_buf, vs_buf, sem, wsem = refs[:6]
+        del refs[:6]
+    else:
+        k_buf, v_buf, ks_buf, vs_buf, sem = refs[:5]
+        del refs[:5]
+    m_scr, l_scr, acc_scr = refs
 
     b = pl.program_id(0)
     c = pl.program_id(1)
@@ -172,6 +254,9 @@ def _paged_attn_kernel(
         m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        if collect_stats:
+            stats_ref[0] = 0
+            stats_ref[1] = 0
 
     @pl.when(((c + 1) < num_chunks) & ((c + 1) * tokens_per_chunk < ctx))
     def _issue_next():
@@ -187,12 +272,12 @@ def _paged_attn_kernel(
         chunk_copy(c, slot).wait()
 
         if fused_write:
-            # Overlay the new token's codeword column into the page we just
-            # staged in VMEM, then DMA the whole page back to the (aliased)
-            # HBM cache. The caches are thus ONLY ever touched by this
-            # kernel during decode - XLA never copies them (a scatter-then-
-            # custom-call chain made XLA materialize a full cache copy per
-            # layer, ~6x the whole step's useful HBM traffic).
+            # Overlay the new token's packed codeword column into the page we
+            # just staged in VMEM, then DMA the whole page back to the
+            # (aliased) HBM cache. The caches are thus ONLY ever touched by
+            # this kernel during decode - XLA never copies them (a scatter-
+            # then-custom-call chain made XLA materialize a full cache copy
+            # per layer, ~6x the whole step's useful HBM traffic).
             tok_idx = ctx - 1
             tok_page = tok_idx // bs
             tok_lane = tok_idx % bs
@@ -208,15 +293,12 @@ def _paged_attn_kernel(
 
                     @pl.when(i_in_chunk == i)
                     def _overlay():
-                        # kn_ref[h] is a native [CW, 1] column (the wrapper
-                        # passes [B, H, CW, 1]). Mosaic broadcast-selects
-                        # want 32-bit operands, so roundtrip through f32
-                        # (exact for bf16/fp8) or i32 (integer caches).
-                        rt = (
-                            jnp.float32
-                            if codec in ("fp16", "fp8")
-                            else jnp.int32
-                        )
+                        # kn_ref[h] is a native [W, 1] column. Mosaic
+                        # broadcast-selects want 32-bit operands: int codecs
+                        # store int32 natively; float codecs roundtrip
+                        # through f32 (exact for bf16/fp8).
+                        is_float = codec in ("fp16", "fp8")
+                        rt = jnp.float32 if is_float else jnp.int32
                         for h in range(num_kv_heads):
                             k_buf[slot, i, h] = jnp.where(
                                 is_tok,
@@ -229,7 +311,7 @@ def _paged_attn_kernel(
                                 v_buf[slot, i, h].astype(rt),
                             ).astype(v_buf.dtype)
                         wb_pairs = [(k_buf, ko_ref), (v_buf, vo_ref)]
-                        if codec not in ("fp16", "fp8"):
+                        if not is_float:
                             # float codecs carry no scales (their scale
                             # pages are never DMA'd in, so writing the
                             # scratch back would store garbage)
@@ -283,8 +365,25 @@ def _paged_attn_kernel(
                 right = jnp.where(tok + 1 < ctx, right, x)
                 left = jnp.where(tok == 0, x, left)
                 interp = (left + right + 1) >> 1
-                out.append(jnp.where(et == 2, interp, x))
+                out.append(jnp.where(et, interp, x))
             return out
+
+        if collect_stats and not is_float_codec:
+            corr_acc = jnp.zeros((), jnp.int32)
+            det_acc = jnp.zeros((), jnp.int32)
+            for h in range(num_kv_heads):
+                for i in range(pages_per_chunk):
+                    page_start = (c * pages_per_chunk + i) * bs
+                    lane = page_start + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, bs), 1
+                    )
+                    valid = (lane < ctx).astype(jnp.int32)
+                    for buf in (k_buf, v_buf):
+                        cr, dt = _count_errors(codec, buf[slot, i, h], valid)
+                        corr_acc = corr_acc + cr
+                        det_acc = det_acc + dt
+            stats_ref[0] += corr_acc
+            stats_ref[1] += det_acc
 
         for h in range(num_kv_heads):
             # Nibbles (0..15 minus zero point) are EXACT in bf16, so the
@@ -293,21 +392,22 @@ def _paged_attn_kernel(
             # AFTER the QK^T dot / BEFORE the PV dot, where they touch
             # [group, bs] score tiles instead of [head_dim, bs] pages.
             # Float codecs (fp16/fp8 baseline arms) skip decode and scales.
-            q = q_ref[h].astype(op_t)  # [group, D]
+            q = q_ref[h].astype(op_t)  # [group, L_s] (storage-lane order)
             r0, r1 = h * group, (h + 1) * group
             if do_interp:
                 # decode the whole chunk first: interpolation needs
-                # cross-page temporal neighbors
+                # cross-page temporal neighbors. SWAR-decode to per-value
+                # int32 tiles via bitcast; doubles masks expand the same way.
                 kd, ket, vd, vet = [], [], [], []
                 for i in range(pages_per_chunk):
-                    dk, ek = C.hamming84_decode_i32(
-                        k_buf[slot, i, h].astype(jnp.int32)
-                    )
-                    dv, ev = C.hamming84_decode_i32(
-                        v_buf[slot, i, h].astype(jnp.int32)
-                    )
-                    kd.append(dk); ket.append(ek)
-                    vd.append(dv); vet.append(ev)
+                    for buf, dl, el in ((k_buf, kd, ket), (v_buf, vd, vet)):
+                        dec, _, double = swar.h84_swar_decode(
+                            _i32(buf[slot, i, h])
+                        )
+                        dl.append(_i32(pltpu.bitcast(dec, jnp.int8)))
+                        el.append(
+                            _i32(pltpu.bitcast(double * 0xFF, jnp.int8)) != 0
+                        )
                 chunk_base = c * pages_per_chunk * bs
                 kd = interp_pages(kd, ket, chunk_base)
                 vd = interp_pages(vd, vet, chunk_base)
@@ -316,20 +416,19 @@ def _paged_attn_kernel(
                 if is_float_codec:
                     kt = k_buf[slot, i, h].astype(op_t)  # [D, bs]
                     vt = v_buf[slot, i, h].astype(op_t)
+                elif do_interp:
+                    kt = (kd[i][:head_dim] - 8).astype(op_t)
+                    vt = vd[i][:head_dim].astype(op_t)
                 else:
-                    if do_interp:
-                        kt_nib, vt_nib = kd[i], vd[i]
-                    else:
-                        kt_nib = _decode_tile_t(
-                            codec, k_buf[slot, i, h], head_dim
-                        )  # [D, bs] i32
-                        vt_nib = _decode_tile_t(
-                            codec, v_buf[slot, i, h], head_dim
-                        )
+                    kt = _decode_kt_tile(
+                        codec, k_buf[slot, i, h], head_dim, op_t, minus8=True
+                    )  # [L_s, bs]
+                    vt = _decode_kt_tile(
+                        codec, v_buf[slot, i, h], head_dim, op_t, minus8=False
+                    )
+                if not is_float_codec:
                     ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
                     vs = vs_buf[slot, i, h].astype(jnp.float32)
-                    kt = (kt_nib - 8).astype(op_t)
-                    vt = vt_nib.astype(op_t)  # zero point folded in post-dot
 
                 s_raw = jax.lax.dot_general(
                     q,
@@ -354,18 +453,21 @@ def _paged_attn_kernel(
                 p_ij = jnp.exp(s - m_new)
                 l_new = l_prev * alpha + jnp.sum(p_ij, axis=1, keepdims=True)
                 # fold the V dequant scale into the softmax weights, then
-                # contract tokens: p [group, bs] x vt [D, bs] -> [group, D].
-                # The -8 zero point becomes a rank-1 correction.
+                # contract tokens: p [group, bs] x vt [L_s, bs] -> [group,
+                # L_s]. The -8 zero point becomes a rank-1 correction.
                 pv = p_ij if is_float_codec else p_ij * vs[None, :]
+                pv = pv.astype(op_t)
                 delta = jax.lax.dot_general(
-                    pv.astype(op_t),
+                    pv,
                     vt,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=prec,
                 )
                 if not is_float_codec:
-                    delta = delta - 8.0 * jnp.sum(pv, axis=1, keepdims=True)
+                    delta = delta - 8.0 * jnp.sum(
+                        pv.astype(jnp.float32), axis=1, keepdims=True
+                    )
                 acc_scr[r0:r1] = acc_scr[r0:r1] * alpha + delta
                 m_scr[r0:r1] = jnp.broadcast_to(m_new, (group, m_scr.shape[1]))
                 l_scr[r0:r1] = jnp.broadcast_to(l_new, (group, l_scr.shape[1]))
@@ -378,10 +480,35 @@ def _paged_attn_kernel(
         out_ref[:] = out.reshape(out_ref.shape).astype(out_ref.dtype)
 
 
+def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
+                  sm_scale, pages_per_chunk):
+    batch, num_q_heads, head_dim = query.shape
+    _, num_blocks, num_kv_heads, row_w, bs = k_cache.shape
+    assert bs == block_size, (bs, block_size)
+    group = num_q_heads // num_kv_heads
+    assert group * num_kv_heads == num_q_heads
+    if not C.use_interpret() and block_size % 128 != 0:
+        raise ValueError(
+            f"TPU paged attention requires block_size % 128 == 0, got "
+            f"{block_size} (token-minor pages must be lane-aligned)"
+        )
+    if num_pages is None:
+        num_pages = block_table.shape[1]
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    if pages_per_chunk is None:
+        pages_per_chunk = max(1, 256 // block_size)
+    cp = min(pages_per_chunk, num_pages)
+    num_chunks = C.cdiv(num_pages, cp)
+    return (batch, num_q_heads, head_dim, num_kv_heads, row_w, group,
+            num_pages, float(sm_scale), cp, num_chunks)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
-                     "pages_per_chunk", "precision", "use_interpolation"),
+                     "pages_per_chunk", "precision", "use_interpolation",
+                     "collect_stats"),
 )
 def paged_attention_ecc(
     query,
@@ -394,85 +521,83 @@ def paged_attention_ecc(
     layer_idx,
     *,
     codec: str = "hamming84",
-    block_size: int = 16,
+    block_size: int = 128,
     num_pages: int | None = None,
     sm_scale: float | None = None,
     pages_per_chunk: int | None = None,
     precision: str = "fast",
     use_interpolation: bool = False,
+    collect_stats: bool = False,
 ):
     """Decode-phase fused paged attention with inline ECC decode.
 
     Args:
         query: [batch, num_q_heads, head_dim] (one decode token per sequence).
-        k_cache/v_cache: [num_layers, num_blocks, num_kv_heads,
-            row_codewords, block_size] - token-minor pages (uint8 for
-            int4/hamming, int32 for golay).
+        k_cache/v_cache: [num_layers, num_blocks, num_kv_heads, row_words,
+            block_size] - token-minor bit-packed pages (int32 for the integer
+            codecs; see kernels/swar.py for the packings).
         k_scales/v_scales: [num_layers, num_blocks, num_kv_heads, block_size].
         block_table: int32 [batch, max_blocks] (-1 for unallocated).
         context_lens: int32 [batch].
         layer_idx: which layer of the stacked cache to attend over.
-        codec: int4 | hamming74 | hamming84 | golay.
+        codec: int4 | hamming74 | hamming84 | golay | fp16 | fp8.
         num_pages: static page-loop bound (default: block_table.shape[1]).
         pages_per_chunk: KV pages DMA'd per grid step (default: ~256 tokens).
         precision: "fast" = bf16 matmul operands (nibbles are exact; only
             the query and softmax weights round, ~2^-8 relative), "highest"
             = 6-pass f32 for bit-for-bit verification runs.
+        collect_stats: also return int32 [batch, 2] (corrected, detected)
+            error counts over the attended context (reference get_ecc_stats
+            semantics).
 
     Returns:
-        [batch, num_q_heads, head_dim] attention output (query dtype).
+        [batch, num_q_heads, head_dim] attention output (query dtype), or
+        (output, stats) with collect_stats.
 
     On real TPUs block_size must be a multiple of 128 (the HBM page slice's
     minor dim must be lane-aligned); the CPU interpreter accepts any size.
     """
-    batch, num_q_heads, head_dim = query.shape
-    _, num_blocks, num_kv_heads, row_cw, bs = k_cache.shape
-    assert bs == block_size, (bs, block_size)
-    group = num_q_heads // num_kv_heads
-    assert group * num_kv_heads == num_q_heads
-    if not C.use_interpret() and block_size % 128 != 0:
-        raise ValueError(
-            f"TPU paged attention requires block_size % 128 == 0, got "
-            f"{block_size} (token-minor pages must be lane-aligned)"
-        )
+    (batch, num_q_heads, head_dim, num_kv_heads, row_w, group, num_pages,
+     sm_scale, cp, num_chunks) = _common_setup(
+        query, k_cache, block_size, codec, num_pages, block_table, sm_scale,
+        pages_per_chunk)
 
-    if num_pages is None:
-        num_pages = block_table.shape[1]
-    if sm_scale is None:
-        sm_scale = float(head_dim) ** -0.5
-    if pages_per_chunk is None:
-        pages_per_chunk = max(1, 256 // block_size)
-
-    cp = min(pages_per_chunk, num_pages)
-    num_chunks = C.cdiv(num_pages, cp)
+    q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
     def q_map(b, c, layer, bt, cl):
         return (b, 0, 0, 0)
+
+    def stats_map(b, c, layer, bt, cl):
+        return (b, 0)
+
+    out_specs = [
+        pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct(q4.shape, query.dtype)]
+    if collect_stats:
+        out_specs.append(
+            pl.BlockSpec((None, 2), stats_map, memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((batch, 2), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_chunks),
         in_specs=[
-            pl.BlockSpec(
-                (None, num_kv_heads, group, head_dim),
-                q_map,
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec(
-            (None, num_kv_heads, group, head_dim),
-            q_map,
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), k_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), v_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, bs), k_scales.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, bs), v_scales.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, block_size), k_scales.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, block_size), v_scales.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((num_q_heads, 128), jnp.float32),
             pltpu.VMEM((num_q_heads, 128), jnp.float32),
@@ -485,7 +610,7 @@ def paged_attention_ecc(
         codec=codec,
         block_size=block_size,
         head_dim=head_dim,
-        sm_scale=float(sm_scale),
+        sm_scale=sm_scale,
         pages_per_chunk=cp,
         num_chunks=num_chunks,
         max_pages=num_pages,
@@ -494,13 +619,13 @@ def paged_attention_ecc(
         precision=precision,
         fused_write=False,
         interpolate=use_interpolation,
+        collect_stats=collect_stats,
     )
 
-    q4 = query.reshape(batch, num_kv_heads, group, head_dim)
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(q4.shape, query.dtype),
+        out_shape=out_shape,
         interpret=C.use_interpret(),
     )(
         jnp.asarray([layer_idx], jnp.int32),
@@ -512,13 +637,17 @@ def paged_attention_ecc(
         k_scales,
         v_scales,
     )
-    return out.reshape(batch, num_q_heads, head_dim)
+    out = outs[0].reshape(batch, num_q_heads, head_dim)
+    if collect_stats:
+        return out, outs[1]
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
-                     "pages_per_chunk", "precision", "use_interpolation"),
+                     "pages_per_chunk", "precision", "use_interpolation",
+                     "collect_stats"),
     donate_argnums=(5, 6, 7, 8),
 )
 def paged_attention_ecc_write_attend(
@@ -542,20 +671,22 @@ def paged_attention_ecc_write_attend(
     pages_per_chunk: int | None = None,
     precision: str = "fast",
     use_interpolation: bool = False,
+    collect_stats: bool = False,
 ):
     """Fused decode-step cache WRITE + paged attention in ONE kernel.
 
-    Writes the new token's already-encoded codeword column into its page
-    (in VMEM, during the page's streaming pass) and DMAs the page back to
-    the cache, which is input/output-ALIASED so the update is guaranteed
+    Writes the new token's already-encoded PACKED codeword column into its
+    page (in VMEM, during the page's streaming pass) and DMAs the page back
+    to the cache, which is input/output-ALIASED so the update is guaranteed
     in-place. This keeps the KV cache out of XLA's hands during decode:
     a scatter + custom-call chain made XLA materialize a full cache copy
     per layer (measured 6x the step's useful HBM traffic).
 
     Args:
         query: [batch, num_q_heads, head_dim].
-        k_new/v_new: [batch, num_kv_heads, row_codewords] encoded (and
-            fault-injected) codewords of the new token.
+        k_new/v_new: [batch, num_kv_heads, row_words] packed storage words of
+            the new token (already encoded + fault-injected + packed, see
+            kernels/swar.py pack_codewords).
         ks_new/vs_new: [batch, num_kv_heads] f32 dequant scales.
         k_cache/v_cache/k_scales/v_scales: token-minor paged cache arrays
             (donated; returned updated).
@@ -564,28 +695,14 @@ def paged_attention_ecc_write_attend(
 
     Returns:
         (out [batch, num_q_heads, head_dim], k_cache, v_cache, k_scales,
-        v_scales).
+        v_scales[, stats [batch, 2]]).
     """
-    batch, num_q_heads, head_dim = query.shape
-    _, num_blocks, num_kv_heads, row_cw, bs = k_cache.shape
-    assert bs == block_size, (bs, block_size)
-    group = num_q_heads // num_kv_heads
-    assert group * num_kv_heads == num_q_heads
-    if not C.use_interpret() and block_size % 128 != 0:
-        raise ValueError(
-            f"TPU paged attention requires block_size % 128 == 0, got "
-            f"{block_size}"
-        )
+    (batch, num_q_heads, head_dim, num_kv_heads, row_w, group, num_pages,
+     sm_scale, cp, num_chunks) = _common_setup(
+        query, k_cache, block_size, codec, num_pages, block_table, sm_scale,
+        pages_per_chunk)
 
-    if num_pages is None:
-        num_pages = block_table.shape[1]
-    if sm_scale is None:
-        sm_scale = float(head_dim) ** -0.5
-    if pages_per_chunk is None:
-        pages_per_chunk = max(1, 256 // block_size)
-
-    cp = min(pages_per_chunk, num_pages)
-    num_chunks = C.cdiv(num_pages, cp)
+    q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
     def q_map(b, c, layer, bt, cl):
         return (b, 0, 0, 0)
@@ -596,21 +713,42 @@ def paged_attention_ecc_write_attend(
     def new_scale_map(b, c, layer, bt, cl):
         return (b, 0, 0)
 
+    def stats_map(b, c, layer, bt, cl):
+        return (b, 0)
+
+    out_specs = [
+        pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(q4.shape, query.dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
+        jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
+    ]
+    if collect_stats:
+        out_specs.append(
+            pl.BlockSpec((None, 2), stats_map, memory_space=pltpu.SMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((batch, 2), jnp.int32))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_chunks),
         in_specs=[
+            pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (None, num_kv_heads, group, head_dim),
-                q_map,
+                (None, num_kv_heads, row_w, 1), new_map,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (None, num_kv_heads, row_cw, 1), new_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, num_kv_heads, row_cw, 1), new_map,
+                (None, num_kv_heads, row_w, 1), new_map,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -626,22 +764,12 @@ def paged_attention_ecc_write_attend(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[
-            pl.BlockSpec(
-                (None, num_kv_heads, group, head_dim),
-                q_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), k_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, row_cw, bs), v_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, bs), k_scales.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, bs), v_scales.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, block_size), k_scales.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, block_size), v_scales.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((num_q_heads, 128), jnp.float32),
@@ -655,7 +783,7 @@ def paged_attention_ecc_write_attend(
         codec=codec,
         block_size=block_size,
         head_dim=head_dim,
-        sm_scale=float(sm_scale),
+        sm_scale=sm_scale,
         pages_per_chunk=cp,
         num_chunks=num_chunks,
         max_pages=num_pages,
@@ -664,19 +792,13 @@ def paged_attention_ecc_write_attend(
         precision=precision,
         fused_write=True,
         interpolate=use_interpolation,
+        collect_stats=collect_stats,
     )
 
-    q4 = query.reshape(batch, num_kv_heads, group, head_dim)
-    out, k_cache, v_cache, k_scales, v_scales = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(q4.shape, query.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-            jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
-            jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
-        ],
+        out_shape=out_shape,
         # input indices include the 3 scalar-prefetch args: caches are
         # inputs 8..11 -> outputs 1..4 (guaranteed in-place update)
         input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
@@ -686,8 +808,8 @@ def paged_attention_ecc_write_attend(
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         q4,
-        k_new.reshape(batch, num_kv_heads, row_cw, 1).astype(k_cache.dtype),
-        v_new.reshape(batch, num_kv_heads, row_cw, 1).astype(v_cache.dtype),
+        k_new.reshape(batch, num_kv_heads, row_w, 1).astype(k_cache.dtype),
+        v_new.reshape(batch, num_kv_heads, row_w, 1).astype(v_cache.dtype),
         ks_new.reshape(batch, 1, num_kv_heads).astype(k_scales.dtype),
         vs_new.reshape(batch, 1, num_kv_heads).astype(v_scales.dtype),
         k_cache,
@@ -695,31 +817,29 @@ def paged_attention_ecc_write_attend(
         k_scales,
         v_scales,
     )
-    return (
-        out.reshape(batch, num_q_heads, head_dim),
-        k_cache,
-        v_cache,
-        k_scales,
-        v_scales,
-    )
+    out = outs[0].reshape(batch, num_q_heads, head_dim)
+    res = (out, outs[1], outs[2], outs[3], outs[4])
+    if collect_stats:
+        return res + (outs[5],)
+    return res
 
 
 # =============================================================================
 # jnp reference implementation (the oracle; also the general fallback for
-# prefill-shaped queries, fp16/fp8 codecs, and the interpolation path)
+# prefill-shaped queries and verification runs)
 # =============================================================================
 
 
 def gather_pages(cache, block_table, layer_idx, num_pages):
-    """Gather [batch, num_pages*block_size, kv_heads, row_cw] token-major
+    """Gather [batch, num_pages*block_size, kv_heads, row_words] token-major
     rows from a token-minor stacked paged cache using the block table
     (invalid pages clamp to block 0)."""
     table = jnp.maximum(block_table[:, :num_pages], 0)  # [batch, pages]
-    layer = cache[layer_idx]  # [blocks, heads, cw, bs]
-    gathered = layer[table]  # [batch, pages, heads, cw, bs]
-    b, p, h, cw, bs = gathered.shape
-    # -> [batch, pages, bs, heads, cw] -> [batch, tokens, heads, cw]
-    return jnp.transpose(gathered, (0, 1, 4, 2, 3)).reshape(b, p * bs, h, cw)
+    layer = cache[layer_idx]  # [blocks, heads, w, bs]
+    gathered = layer[table]  # [batch, pages, heads, w, bs]
+    b, p, h, w, bs = gathered.shape
+    # -> [batch, pages, bs, heads, w] -> [batch, tokens, heads, w]
+    return jnp.transpose(gathered, (0, 1, 4, 2, 3)).reshape(b, p * bs, h, w)
 
 
 def gather_scales(scales, block_table, layer_idx, num_pages):
@@ -743,41 +863,21 @@ def paged_attention_ecc_reference(
     layer_idx,
     *,
     codec: str = "hamming84",
-    block_size: int = 16,
+    block_size: int = 128,
     num_pages: int | None = None,
     sm_scale: float | None = None,
 ):
-    """Slow-but-obviously-correct paged attention with explicit decode
-    (the reference's `reference_attention_ecc`, attention_ecc.py:783)."""
-    from ..codecs.reference import hamming74_decode, hamming84_decode
-    from ..kernels.common import golay_decode_i32
-
+    """Slow-but-obviously-correct paged attention with explicit unpack +
+    decode (the reference's `reference_attention_ecc`, attention_ecc.py:783).
+    Matches the fused kernel's decode semantics (golay zeroes uncorrectable
+    codewords)."""
     batch, num_q_heads, head_dim = query.shape
-    _, num_blocks, num_kv_heads, row_cw, bs = k_cache.shape
+    _, num_blocks, num_kv_heads, row_w, bs = k_cache.shape
     group = num_q_heads // num_kv_heads
     if num_pages is None:
         num_pages = block_table.shape[1]
     if sm_scale is None:
         sm_scale = float(head_dim) ** -0.5
-
-    def decode(raw):
-        x = raw.astype(jnp.int32)
-        if codec == "int4":
-            return x & 0xF
-        if codec == "hamming74":
-            data, _, _ = hamming74_decode(raw.astype(jnp.uint8))
-            return data.astype(jnp.int32)
-        if codec == "hamming84":
-            data, _, _, _ = hamming84_decode(raw.astype(jnp.uint8))
-            return data.astype(jnp.int32)
-        if codec == "golay":
-            data12, _ = golay_decode_i32(x, _B_MASKS, zero_uncorrectable=True)
-            planes = jnp.concatenate(
-                [(data12 >> 0) & 0xF, (data12 >> 4) & 0xF, (data12 >> 8) & 0xF],
-                axis=-1,
-            )
-            return planes[..., :head_dim]
-        raise ValueError(codec)
 
     k_raw = gather_pages(k_cache, block_table, layer_idx, num_pages)
     v_raw = gather_pages(v_cache, block_table, layer_idx, num_pages)
@@ -786,10 +886,17 @@ def paged_attention_ecc_reference(
         k = k_raw.astype(jnp.float32)
         v = v_raw.astype(jnp.float32)
     else:
+        def decode(raw):
+            cw = swar.unpack_codewords(codec, raw, head_dim)
+            nib = swar.decode_values(
+                codec, cw, head_dim, zero_uncorrectable=True
+            )
+            return nib.astype(jnp.float32)
+
         ks = gather_scales(k_scales, block_table, layer_idx, num_pages)
         vs = gather_scales(v_scales, block_table, layer_idx, num_pages)
-        k = (decode(k_raw).astype(jnp.float32) - 8.0) * ks[..., None]
-        v = (decode(v_raw).astype(jnp.float32) - 8.0) * vs[..., None]
+        k = (decode(k_raw) - 8.0) * ks[..., None]
+        v = (decode(v_raw) - 8.0) * vs[..., None]
     # [batch, tokens, kv_heads, head_dim] -> [batch, kv_heads, tokens, head_dim]
     k = jnp.moveaxis(k, 1, 2)
     v = jnp.moveaxis(v, 1, 2)

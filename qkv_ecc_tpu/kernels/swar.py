@@ -1,0 +1,403 @@
+"""SWAR (SIMD-within-a-register) packed codec math for the bit-packed cache.
+
+The round-1 cache stored one codeword per uint8/int32 element, wasting both
+HBM bits (int4 spent 8 bits/value) and VPU lanes (each 32-bit lane decoded a
+single codeword). This module packs codewords densely into int32 storage
+words and decodes them with byte/bit-parallel arithmetic so every VPU op
+processes 4-32 values:
+
+  codec      packing                             physical bits/value
+  --------   ---------------------------------   -------------------
+  int4       8 nibbles / word                    4.0
+  hamming74  bit-sliced: 7 planes x 32 cw        7.0
+  hamming84  4 byte codewords / word (SWAR)      8.0
+  golay      4 x 24-bit cw / 3 words (quarters)  8.0
+
+Contrast with the reference, which stored one codeword per uint8/int32
+element everywhere (ecc_codecs/triton_kernels/config.py:41-70 - bit 7 of
+every Hamming(7,4) byte wasted, 8 of 32 bits of every Golay word wasted).
+
+Value <-> storage-lane mappings are chosen so that pltpu.bitcast's
+int32->int8 sublane interleave (sublane 4j+k of the int8 view = byte k of
+word row j) unpacks decoded nibbles STRAIGHT into head-dim order - the fused
+attention kernel never runs a shift network or sublane concatenation to
+rebuild K^T:
+
+  int4       value v  <-> word v//4 % W ... see pack_int4: lo nibbles of the
+             byte hold values [0, D/2), hi nibbles [D/2, D); each bitcast
+             view is identity-ordered over its half.
+  hamming84  value v  <-> word v//4, byte v%4 (identity order after bitcast)
+  hamming74  value v  <-> plane word group v%G, bit position v//G
+  golay      codeword c protects values (c, c+C4, c+2*C4) - THIRD-
+             PARTITIONED over the padded codeword count C4, so the decoded
+             nibble planes concatenate along sublanes straight into
+             head-dim order (no shift network, no query permutation, and
+             the QK^T contraction stays a single 128-deep MXU pass after
+             slicing padding). Word packing is quarter-partitioned (quarter
+             q holds codewords [q*G4, (q+1)*G4)) so in-kernel unpack is 3
+             contiguous sublane slices. Protection statistics are identical
+             to the reference's adjacent triplets (ecc_shim.py:678) - any 3
+             values per 24-bit codeword; only the value mapping differs.
+
+All decode helpers are pure jnp on int32 tiles, callable inside Pallas
+kernels; all pack helpers run in XLA on the write path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..codecs.algebra import GOLAY_B_ROW_MASKS
+
+_B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
+M1 = 0x01010101  # bit 0 of each byte
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# =============================================================================
+# hamming84: 4 codewords per int32 word, byte slots (SWAR)
+# =============================================================================
+
+
+def h84_swar_syndromes(x):
+    """Per-byte SECDED syndromes of 4 codewords per int32 lane.
+
+    Returns (a, b, c, podd): syndrome bits s0/s1/s2 and odd-overall-parity,
+    each as an M1-style mask (bit 0 of every byte)."""
+    x1, x2, x3 = x >> 1, x >> 2, x >> 3
+    x4, x5, x6 = x >> 4, x >> 5, x >> 6
+    a = (x ^ x1 ^ x3 ^ x4) & M1
+    b = (x ^ x2 ^ x3 ^ x5) & M1
+    c = (x1 ^ x2 ^ x3 ^ x6) & M1
+    p = x ^ x4
+    p = p ^ (p >> 2)
+    p = p ^ (p >> 1)
+    return a, b, c, p & M1
+
+
+def _h84_data_correction(a, b, c, single):
+    """Data-nibble XOR masks from per-byte syndrome bits: syndromes
+    {3,5,6,7} flip data bits {0,1,2,3} (kernels/common.py:_h74_data
+    _correction_i32), everything else is a parity-bit flip (no-op)."""
+    ab = a & b
+    corr = (
+        (ab & (c ^ M1))
+        | ((a & (b ^ M1) & c) << 1)
+        | (((a ^ M1) & b & c) << 2)
+        | ((ab & c) << 3)
+    )
+    return corr & (single * 0xF)
+
+
+def h84_swar_correct_data(x):
+    """4 SECDED codewords per int32 lane -> 4 corrected data nibbles per lane
+    (byte slots). Single errors corrected, doubles PRESERVE corrupt data -
+    identical semantics to hamming84_correct_data_i32, ~4 values per VPU op."""
+    a, b, c, podd = h84_swar_syndromes(x)
+    single = (a | b | c) & podd
+    corr = _h84_data_correction(a, b, c, single)
+    return (x ^ corr) & 0x0F0F0F0F
+
+
+def h84_swar_decode(x):
+    """Like h84_swar_correct_data but also returns (singles, doubles) M1
+    masks (bit 0 of each byte) for error accounting / interpolation."""
+    a, b, c, podd = h84_swar_syndromes(x)
+    nonzero = a | b | c
+    single = nonzero & podd
+    double = nonzero & (podd ^ M1)
+    corr = _h84_data_correction(a, b, c, single)
+    return (x ^ corr) & 0x0F0F0F0F, single, double
+
+
+def h84_swar_encode(n):
+    """4 nibbles per int32 lane (byte slots, 0x0N each) -> 4 SECDED
+    codewords per lane."""
+    p0 = (n ^ (n >> 1) ^ (n >> 3)) & M1
+    p1 = (n ^ (n >> 2) ^ (n >> 3)) & M1
+    p2 = ((n >> 1) ^ (n >> 2) ^ (n >> 3)) & M1
+    cw = n | (p0 << 4) | (p1 << 5) | (p2 << 6)
+    q = cw ^ (cw >> 4)
+    q = q ^ (q >> 2)
+    q = q ^ (q >> 1)
+    return cw | ((q & M1) << 7)
+
+
+def pack_bytes4(cw, axis=-1):
+    """[..., 4W] byte-sized values -> [..., W] int32 words, byte k of word j
+    = element 4j+k (matches pltpu.bitcast's int8-view sublane order)."""
+    cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
+    shp = cw.shape[:-1] + (cw.shape[-1] // 4, 4)
+    g = cw.reshape(shp)
+    w = g[..., 0] | (g[..., 1] << 8) | (g[..., 2] << 16) | (g[..., 3] << 24)
+    return jnp.moveaxis(w, -1, axis)
+
+
+def unpack_bytes4(w, axis=-1):
+    """Inverse of pack_bytes4: [..., W] int32 -> [..., 4W] bytes (int32)."""
+    w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
+    parts = jnp.stack(
+        [(w >> (8 * k)) & 0xFF for k in range(4)], axis=-1
+    )  # [..., W, 4]
+    out = parts.reshape(parts.shape[:-2] + (parts.shape[-2] * 4,))
+    return jnp.moveaxis(out, -1, axis)
+
+
+# =============================================================================
+# int4: 8 nibbles per int32 word
+# =============================================================================
+
+
+def pack_int4(vals, axis=-1):
+    """[..., D] nibbles -> [..., D/8] int32 words. Byte k of word j holds
+    value 4j+k in its LOW nibble and value D/2 + 4j+k in its HIGH nibble, so
+    each of the two bitcast int8 views is identity-ordered over one half of
+    the head dim."""
+    v = jnp.moveaxis(vals, axis, -1).astype(jnp.int32) & 0xF
+    D = v.shape[-1]
+    lo, hi = v[..., : D // 2], v[..., D // 2 :]
+    w = pack_bytes4(lo | (hi << 4), axis=-1)
+    return jnp.moveaxis(w, -1, axis)
+
+
+def unpack_int4(w, axis=-1):
+    """Inverse of pack_int4: [..., W] -> [..., 8W] nibbles (int32)."""
+    w = jnp.moveaxis(w, axis, -1)
+    by = unpack_bytes4(w, axis=-1)  # [..., 4W] bytes
+    out = jnp.concatenate([by & 0xF, (by >> 4) & 0xF], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def int4_split(x):
+    """Packed int4 words -> (lo, hi) nibble-in-byte-slot tiles; bitcast each
+    to int8 for the identity-ordered halves of the head dim."""
+    return x & 0x0F0F0F0F, (x >> 4) & 0x0F0F0F0F
+
+
+# =============================================================================
+# hamming74: bit-sliced, 7 planes x 32 codewords per word group
+# =============================================================================
+
+
+def h74_slice_pack(cw, axis=-1):
+    """[..., 32G] 7-bit codewords -> [..., 7G] plane words (plane-major:
+    word p*G + g holds bit p of codeword t*G + g at bit position t, i.e.
+    value v lives in word group v % G at bit v // G)."""
+    cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
+    pre = cw.shape[:-1]
+    G = cw.shape[-1] // 32
+    c = cw.reshape(pre + (32, G))  # [..., t, g]
+    planes = (c[..., None] >> jnp.arange(7)) & 1  # [..., t, g, p]
+    words = jnp.sum(
+        planes.astype(jnp.int32) << jnp.arange(32)[:, None, None], axis=-3
+    )  # [..., g, p]
+    nd = len(pre)
+    words = jnp.moveaxis(words, -1, nd).reshape(pre + (7 * G,))
+    return jnp.moveaxis(words, -1, axis)
+
+
+def h74_slice_unpack(w, axis=-1):
+    """Inverse of h74_slice_pack: [..., 7G] plane words -> [..., 32G]
+    7-bit codewords (int32)."""
+    w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
+    pre = w.shape[:-1]
+    G = w.shape[-1] // 7
+    planes = w.reshape(pre + (7, G))  # [..., p, g]
+    bits = (planes[..., None, :, :] >> jnp.arange(32)[:, None, None]) & 1
+    # bits: [..., t, p, g]
+    cw = jnp.sum(bits << jnp.arange(7)[:, None], axis=-2)  # [..., t, g]
+    cw = cw.reshape(pre + (32 * G,))
+    return jnp.moveaxis(cw, -1, axis)
+
+
+def h74_sliced_correct_planes(w, G: int):
+    """[7G, bs] plane words -> 4 corrected data planes, each [G, bs].
+
+    Bit-sliced Hamming(7,4): one XOR corrects 32 codewords. Layout
+    [d0..d3, p0..p2] as in the reference hamming74_triton.py:47."""
+    D = [w[i * G : (i + 1) * G] for i in range(4)]
+    P = [w[i * G : (i + 1) * G] for i in range(4, 7)]
+    s0 = D[0] ^ D[1] ^ D[3] ^ P[0]
+    s1 = D[0] ^ D[2] ^ D[3] ^ P[1]
+    s2 = D[1] ^ D[2] ^ D[3] ^ P[2]
+    c0 = s0 & s1 & ~s2
+    c1 = s0 & ~s1 & s2
+    c2 = ~s0 & s1 & s2
+    c3 = s0 & s1 & s2
+    return [D[0] ^ c0, D[1] ^ c1, D[2] ^ c2, D[3] ^ c3], (s0 | s1 | s2)
+
+
+def h74_sliced_unpack_values(planes, G: int):
+    """4 data planes [G, bs] -> nibble values [32G, bs] int32 (value v at
+    sublane v; v = t*G + g <-> bit t of plane word g)."""
+    reps = [jnp.concatenate([p] * 32, axis=0) for p in planes]
+    t = jax.lax.broadcasted_iota(jnp.int32, reps[0].shape, 0) // G
+    nib = (reps[0] >> t) & 1
+    for p in range(1, 4):
+        nib = nib | (((reps[p] >> t) & 1) << p)
+    return nib
+
+
+# =============================================================================
+# golay: 4 x 24-bit codewords per 3 int32 words, quarter-partitioned
+# =============================================================================
+
+
+def golay_pack_thirds(vals, axis=-1):
+    """[..., 3C] nibbles -> [..., C] 12-bit data words, third-partitioned:
+    word c = v[c] | v[c+C]<<4 | v[c+2C]<<8 (see module docstring; the
+    reference packed adjacent triplets, ecc_shim.py:678 - protection-
+    equivalent, mapping differs)."""
+    v = jnp.moveaxis(vals, axis, -1).astype(jnp.int32) & 0xF
+    c = v.shape[-1] // 3
+    w = v[..., :c] | (v[..., c : 2 * c] << 4) | (v[..., 2 * c :] << 8)
+    return jnp.moveaxis(w, -1, axis)
+
+
+def golay_unpack_thirds(data12, axis=-1):
+    """Inverse of golay_pack_thirds: [..., C] -> [..., 3C] nibbles."""
+    d = jnp.moveaxis(data12, axis, -1).astype(jnp.int32)
+    out = jnp.concatenate([d & 0xF, (d >> 4) & 0xF, (d >> 8) & 0xF], axis=-1)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def golay_pack4(cw, axis=-1):
+    """[..., 4G] 24-bit codewords -> [..., 3G] int32 words, BYTE-PLANE
+    packed: plane p (rows [p*G, (p+1)*G)) holds byte p of the codewords,
+    4 per word in pltpu.bitcast order (byte k of word j = codeword 4j+k).
+
+    8.0 bits/value exactly; the kernel expands each plane back to one byte
+    per sublane with a single bitcast (no shift network)."""
+    cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
+    planes = [
+        pack_bytes4((cw >> (8 * p)) & 0xFF, axis=-1) for p in range(3)
+    ]
+    return jnp.moveaxis(jnp.concatenate(planes, axis=-1), -1, axis)
+
+
+def golay_unpack4(w, axis=-1):
+    """Inverse of golay_pack4: [..., 3G] words -> [..., 4G] codewords."""
+    w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
+    G = w.shape[-1] // 3
+    cw = jnp.zeros(w.shape[:-1] + (4 * G,), jnp.int32)
+    for p in range(3):
+        b = unpack_bytes4(w[..., p * G : (p + 1) * G], axis=-1)
+        cw = cw | (b << (8 * p))
+    return jnp.moveaxis(cw, -1, axis)
+
+
+# =============================================================================
+# Unified row packing (engine / runtime write path; jnp, XLA-land)
+# =============================================================================
+
+
+def padded_values(codec: str, head_dim: int) -> int:
+    """Protected values per row after padding to the codec's packing
+    granularity."""
+    if codec == "int4":
+        return round_up(head_dim, 8)
+    if codec == "hamming74":
+        return round_up(head_dim, 32)
+    if codec == "hamming84":
+        return round_up(head_dim, 4)
+    if codec == "golay":
+        return 3 * round_up(-(-head_dim // 3), 4)
+    return head_dim  # fp16 / fp8 store raw values
+
+
+def row_words(codec: str, head_dim: int) -> int:
+    """int32 storage words per (token, head) row (fp16/fp8: elements)."""
+    pv = padded_values(codec, head_dim)
+    if codec == "int4":
+        return pv // 8
+    if codec == "hamming74":
+        return 7 * pv // 32
+    if codec == "hamming84":
+        return pv // 4
+    if codec == "golay":
+        return 3 * (pv // 3) // 4
+    return head_dim
+
+
+def pack_codewords(codec: str, cw, head_dim: int, axis=-1):
+    """Per-value codeword array -> packed int32 storage words.
+
+    cw (along `axis`): int4/hamming74/hamming84: padded_values() elements
+    (nibbles / 7-bit / 8-bit codewords); golay: padded_values()//3 24-bit
+    codewords. Fault injection happens BEFORE packing (on logical codeword
+    bits), so packing is a pure bit relabeling."""
+    if codec == "int4":
+        return pack_int4(cw, axis=axis)
+    if codec == "hamming74":
+        return h74_slice_pack(cw, axis=axis)
+    if codec == "hamming84":
+        return pack_bytes4(cw, axis=axis)
+    if codec == "golay":
+        return golay_pack4(cw, axis=axis)
+    raise ValueError(codec)
+
+
+def unpack_codewords(codec: str, w, head_dim: int, axis=-1):
+    """Inverse of pack_codewords (the jnp oracle/prefill read path)."""
+    if codec == "int4":
+        return unpack_int4(w, axis=axis)
+    if codec == "hamming74":
+        return h74_slice_unpack(w, axis=axis)
+    if codec == "hamming84":
+        return unpack_bytes4(w, axis=axis)
+    if codec == "golay":
+        return golay_unpack4(w, axis=axis)
+    raise ValueError(codec)
+
+
+def encode_row(codec: str, q, head_dim: int):
+    """Quantized nibbles [..., head_dim] -> packed int32 words [..., W],
+    WITHOUT fault injection (inject on the logical codewords via
+    encode_codewords + pack_codewords when a BER is active)."""
+    return pack_codewords(codec, encode_codewords(codec, q, head_dim), head_dim)
+
+
+def encode_codewords(codec: str, q, head_dim: int):
+    """Quantized nibbles [..., head_dim] -> per-value logical codeword array
+    (the injection domain), padded to the codec's packing granularity."""
+    from . import common as C
+
+    pv = padded_values(codec, head_dim)
+    pad = pv - head_dim
+    if pad:
+        q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pad)])
+    q = q.astype(jnp.int32) & 0xF
+    if codec == "int4":
+        return q
+    if codec == "hamming74":
+        return C.hamming74_encode_i32(q)
+    if codec == "hamming84":
+        return C.hamming84_encode_i32(q)
+    if codec == "golay":
+        return C.golay_encode_i32(golay_pack_thirds(q), _B_MASKS)
+    raise ValueError(codec)
+
+
+def decode_values(codec: str, cw, head_dim: int, *, zero_uncorrectable=False):
+    """Logical codewords -> corrected nibbles [..., head_dim] (jnp oracle
+    path; stats-free). Mirrors the fused kernel's data-only correctors."""
+    from . import common as C
+
+    if codec == "int4":
+        dec = cw & 0xF
+    elif codec == "hamming74":
+        dec = C.hamming74_correct_data_i32(cw)
+    elif codec == "hamming84":
+        dec = C.hamming84_correct_data_i32(cw)
+    elif codec == "golay":
+        d12, _ = C.golay_decode_i32(
+            cw, _B_MASKS, zero_uncorrectable=zero_uncorrectable
+        )
+        dec = golay_unpack_thirds(d12)
+    else:
+        raise ValueError(codec)
+    return dec[..., :head_dim]

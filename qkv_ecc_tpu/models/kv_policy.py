@@ -23,16 +23,12 @@ import jax.numpy as jnp
 from ..codecs.algebra import GOLAY_B_ROW_MASKS
 from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
-from ..codecs.reference import golay_decode, hamming74_decode, hamming84_decode
 from ..kernels.common import (
     golay_decode_i32,
     hamming74_decode_i32,
     hamming84_decode_i32,
-    golay_encode_i32,
-    hamming74_encode_i32,
-    hamming84_encode_i32,
 )
-from ..cache.layout import pack_thirds
+from ..kernels import swar
 
 _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 
@@ -122,24 +118,24 @@ def encode_kv(x, policy: KVCachePolicy, key):
 
     q, scale = _quantize(x)
     head_dim = x.shape[-1]
-    if codec == "int4":
-        enc = q
-    elif codec == "hamming74":
-        enc = hamming74_encode_i32(q)
-    elif codec == "hamming84":
-        enc = hamming84_encode_i32(q)
-    elif codec == "golay":
-        pad = (-head_dim) % 3
-        qp = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pad)])
-        enc = golay_encode_i32(pack_thirds(qp), _B_MASKS)
-    else:
-        raise ValueError(f"Unknown codec: {codec}")
+    # per-value logical codewords, padded to the packing granularity
+    # (kernels/swar.py; golay packs ADJACENT triplets like the reference,
+    # ecc_shim.py:678)
+    enc = swar.encode_codewords(codec, q, head_dim)
 
     if inject:
         mask = flip_mask_for(key, enc.shape, policy.ber, N_BITS[codec])
         flips = jnp.sum(jax.lax.population_count(mask), dtype=jnp.int32)
         enc = enc ^ mask
     return enc, scale, flips
+
+
+def pack_kv(enc, policy: KVCachePolicy, head_dim: int):
+    """Logical codewords (encode_kv output) -> packed int32 storage words
+    for the paged cache (kernels/swar.py layouts). fp16/fp8 pass through."""
+    if policy.codec in ("fp16", "fp8"):
+        return enc
+    return swar.pack_codewords(policy.codec, enc, head_dim)
 
 
 def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int, seq_axis: int = 1):
@@ -179,14 +175,11 @@ def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int, seq_axis: int
         )
         corrected = jnp.sum(jnp.where(cnt < 4, cnt, 0), dtype=jnp.int32)
         detected = jnp.sum((cnt == 4).astype(jnp.int32), dtype=jnp.int32)
-        planes = jnp.concatenate(
-            [(data12 >> 0) & 0xF, (data12 >> 4) & 0xF, (data12 >> 8) & 0xF],
-            axis=-1,
-        )
-        dec = planes[..., :head_dim]
+        dec = swar.golay_unpack_thirds(data12)
     else:
         raise ValueError(f"Unknown codec: {codec}")
 
+    dec = dec[..., :head_dim]  # drop packing-granularity padding
     return (dec.astype(jnp.float32) - 8.0) * scale[..., None], corrected, detected
 
 

@@ -31,7 +31,7 @@ from ..kernels.paged_attention import (
     paged_attention_ecc_write_attend,
 )
 from .config import ModelConfig
-from .kv_policy import KVCachePolicy, decode_kv, encode_kv
+from .kv_policy import KVCachePolicy, decode_kv, encode_kv, pack_kv
 from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
 
 FUSED_CODECS = ("int4", "hamming74", "hamming84", "golay", "fp16", "fp8")
@@ -69,10 +69,11 @@ def _layer_kv_key(policy: KVCachePolicy, layer_idx: int, step_key):
 
 
 def _write_tokens(state, layer_idx, block_table, positions, kc, vc, ks, vs):
-    """Scatter S encoded tokens of every sequence into the paged cache
-    (token-minor layout: cache[layer, block, head, codeword, slot]).
+    """Scatter S encoded+PACKED tokens of every sequence into the paged
+    cache (token-minor layout: cache[layer, block, head, word, slot]).
 
-    kc/vc: [B, S, H, CW]; ks/vs: [B, S, H] or None; positions: [B, S].
+    kc/vc: [B, S, H, W] packed storage words (kernels/swar.py) or raw
+    values for fp16/fp8; ks/vs: [B, S, H] or None; positions: [B, S].
     """
     bs = state["k_cache"].shape[4]
     phys = jnp.take_along_axis(block_table, positions // bs, axis=1)  # [B, S]
@@ -155,7 +156,11 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVC
         kk, vk = _layer_kv_key(policy, i, step_key)
         kc, ks, _ = encode_kv(k, policy, kk)
         vc, vs, _ = encode_kv(v, policy, vk)
-        state = _write_tokens(state, i, block_table, positions, kc, vc, ks, vs)
+        state = _write_tokens(
+            state, i, block_table, positions,
+            pack_kv(kc, policy, cfg.head_dim), pack_kv(vc, policy, cfg.head_dim),
+            ks, vs,
+        )
         k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=cfg.head_dim, seq_axis=1)
         v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=cfg.head_dim, seq_axis=1)
         attn = causal_attention(
@@ -187,6 +192,8 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
         kc, ks, _ = encode_kv(k, policy, kk)
         vc, vs, _ = encode_kv(v, policy, vk)
+        kc = pack_kv(kc, policy, cfg.head_dim)
+        vc = pack_kv(vc, policy, cfg.head_dim)
         if ks is None:  # float codecs carry no dequant scales
             ks = vs = jnp.ones(kc.shape[:3], jnp.float32)
         # fused write+attend: the new token's codeword column is inserted

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
 from ..kernels.paged_attention import paged_attention_ecc_write_attend
 from ..models.config import ModelConfig
-from ..models.kv_policy import KVCachePolicy, decode_kv, encode_kv
+from ..models.kv_policy import KVCachePolicy, decode_kv, encode_kv, pack_kv
 from ..models.layers import apply_rope, causal_attention, rms_norm, rope_frequencies
 from ..models.runtime import _write_tokens
 from .sharding import cache_specs, param_specs
@@ -77,8 +77,10 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     vk = jax.random.fold_in(vk, shard)
     kc, ks, _ = encode_kv(k, policy, kk)
     vc, vs, _ = encode_kv(v, policy, vk)
+    kcp = pack_kv(kc, policy, D)
+    vcp = pack_kv(vc, policy, D)
     if ks is None:  # float codecs (fp16/fp8) carry no dequant scales
-        ks = vs = jnp.ones(kc.shape[:3], jnp.float32)
+        ks = vs = jnp.ones(kcp.shape[:3], jnp.float32)
 
     if fused_attend:
         # fused write+attend: in-place aliased cache update, decode-phase
@@ -91,8 +93,8 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             state["v_scales"],
         ) = paged_attention_ecc_write_attend(
             q[:, 0],
-            kc[:, 0],
-            vc[:, 0],
+            kcp[:, 0],
+            vcp[:, 0],
             ks[:, 0],
             vs[:, 0],
             state["k_cache"],
@@ -110,7 +112,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     else:
         if write:
             state = _write_tokens(
-                state, layer_idx, block_table, positions, kc, vc, ks, vs
+                state, layer_idx, block_table, positions, kcp, vcp, ks, vs
             )
         k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=D, seq_axis=1)
         v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=D, seq_axis=1)

@@ -1,27 +1,27 @@
 """Differential tests for the fused paged-attention kernel vs the jnp
 reference implementation (mirrors reference tests/test_paged_attention_ecc.py:
 hand-built paged caches, kernel-vs-reference max-diff, injected-then-corrected
-errors, GQA, edge cases)."""
+errors, GQA, edge cases). Caches are built through the bit-packed storage
+layouts (kernels/swar.py)."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from qkv_ecc_tpu.cache.layout import ECCCacheConfig, allocate_ecc_kv_cache, pack_thirds
-from qkv_ecc_tpu.codecs import (
-    hamming74_encode,
-    hamming84_encode,
-    inject_bit_errors,
-)
-from qkv_ecc_tpu.kernels.common import golay_encode_i32
+from qkv_ecc_tpu.cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
+from qkv_ecc_tpu.codecs import inject_bit_errors
+from qkv_ecc_tpu.kernels import swar
 from qkv_ecc_tpu.kernels.paged_attention import (
     paged_attention_ecc,
     paged_attention_ecc_reference,
 )
-from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
 
-B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
+
+def encode_pack_rows(codec, q_nibbles, head_dim):
+    """[..., head_dim] quantized nibbles -> packed storage words [..., W]."""
+    cw = swar.encode_codewords(codec, jnp.asarray(q_nibbles, jnp.int32), head_dim)
+    return np.asarray(swar.pack_codewords(codec, cw, head_dim))
 
 
 def build_cache(rng, cfg: ECCCacheConfig, batch, context_lens, ber=0.0, seed=0):
@@ -59,31 +59,18 @@ def build_cache(rng, cfg: ECCCacheConfig, batch, context_lens, ber=0.0, seed=0):
                         absmax = np.abs(row).max(axis=-1)
                         scale = np.where(absmax == 0, 1.0, absmax / 7.0)
                         q = np.clip(np.round(row / scale[:, None]), -8, 7) + 8
-                        q = q.astype(np.uint8)
-                        if cfg.codec == "golay":
-                            pad = cfg.padded_head_dim - cfg.head_dim
-                            qp = np.pad(q, ((0, 0), (0, pad)))
-                            data12 = np.asarray(
-                                pack_thirds(jnp.asarray(qp))
-                            )
-                            cw = np.asarray(
-                                golay_encode_i32(jnp.asarray(data12), B_MASKS)
-                            )
-                        elif cfg.codec == "hamming84":
-                            cw = np.asarray(hamming84_encode(jnp.asarray(q)))
-                        elif cfg.codec == "hamming74":
-                            cw = np.asarray(hamming74_encode(jnp.asarray(q)))
-                        else:  # int4
-                            cw = q
-                        caches[f"{name}_cache"][layer, phys, :, :, slot] = cw
+                        w = encode_pack_rows(cfg.codec, q, cfg.head_dim)
+                        caches[f"{name}_cache"][layer, phys, :, :, slot] = w
                         caches[f"{name}_scales"][layer, phys, :, slot] = scale
 
     cache = {k: jnp.asarray(v) for k, v in caches.items()}
     if ber > 0:
-        nbits = {"hamming84": 8, "hamming74": 7, "golay": 24, "int4": 4}[cfg.codec]
-        cache["k_cache"] = inject_bit_errors(cache["k_cache"], ber, nbits, seed=seed)
+        # corrupt the PACKED storage words directly (every stored bit is a
+        # codeword bit, so uniform flips over all 32 bits are a valid fault
+        # model; both kernel and reference decode the identical corruption)
+        cache["k_cache"] = inject_bit_errors(cache["k_cache"], ber, 32, seed=seed)
         cache["v_cache"] = inject_bit_errors(
-            cache["v_cache"], ber, nbits, seed=seed + 1
+            cache["v_cache"], ber, 32, seed=seed + 1
         )
     return cache, jnp.asarray(block_table), kv_true
 
@@ -134,7 +121,7 @@ def test_fast_precision_close(codec, rng):
     assert float(jnp.max(jnp.abs(out_k - out_r))) < 5e-2
 
 
-@pytest.mark.parametrize("codec", ["hamming84", "golay"])
+@pytest.mark.parametrize("codec", ["hamming84", "golay", "hamming74"])
 def test_kernel_matches_reference_with_errors(codec, rng):
     """Same bit corruption fed to both paths must give identical outputs
     (decode semantics incl. double-error preservation / golay zeroing)."""
@@ -192,7 +179,7 @@ def test_head_dim_128(rng):
 
 
 def test_non_divisible_by_3_head_dim_golay(rng):
-    """head_dim=64 (not /3) exercises the padded third-partitioned packing."""
+    """head_dim=64 (not /3) exercises the padded adjacent-triplet packing."""
     out_k, out_r, _ = run_both(rng, "golay", head_dim=64, context_lens=(16, 16))
     assert float(jnp.max(jnp.abs(out_k - out_r))) < 1e-4
 
@@ -228,10 +215,11 @@ def test_online_softmax_analytic(rng):
     block_table = np.asarray([[0, 1]], np.int32)
     # V quantized value 12 everywhere with scale 0.5 -> dequant (12-8)*0.5 = 2
     for phys in (0, 1):
-        cache["k_cache"][0, phys] = np.asarray(
-            np.round(rng.normal(size=(1, 64, 16)) * 2 + 8).clip(0, 15), np.uint8
-        )
-        cache["v_cache"][0, phys] = 12
+        k_nib = np.round(rng.normal(size=(1, 16, 64)) * 2 + 8).clip(0, 15)
+        kw = encode_pack_rows("int4", k_nib, 64)  # [1, 16, W]
+        vw = encode_pack_rows("int4", np.full((1, 16, 64), 12), 64)
+        cache["k_cache"][0, phys] = np.moveaxis(kw, 1, 2)
+        cache["v_cache"][0, phys] = np.moveaxis(vw, 1, 2)
         cache["k_scales"][0, phys] = 1.0
         cache["v_scales"][0, phys] = 0.5
     q = jnp.asarray(rng.normal(size=(1, 1, 64)).astype(np.float32))
@@ -249,8 +237,6 @@ def test_write_attend_matches_scatter_then_attend(codec, rng):
     AND the same post-write cache as an XLA scatter followed by the
     read-only kernel."""
     from qkv_ecc_tpu.kernels.paged_attention import paged_attention_ecc_write_attend
-    from qkv_ecc_tpu.kernels.common import (
-        golay_encode_i32, hamming84_encode_i32, hamming74_encode_i32)
 
     batch, Hkv, group, D = 2, 2, 2, 64
     context_lens = (23, 40)  # ctx BEFORE the new token
@@ -265,17 +251,8 @@ def test_write_attend_matches_scatter_then_attend(codec, rng):
     new_f = rng.normal(size=(batch, Hkv, D)).astype(np.float32)
     absmax = np.abs(new_f).max(axis=-1)
     scale = np.where(absmax == 0, 1.0, absmax / 7.0)
-    qn = jnp.asarray(
-        np.clip(np.round(new_f / scale[..., None]), -8, 7) + 8, jnp.int32
-    )
-    if codec == "golay":
-        pad = cfg.padded_head_dim - D
-        data12 = pack_thirds(jnp.pad(qn, ((0, 0), (0, 0), (0, pad))))
-        k_new = golay_encode_i32(data12, B_MASKS)
-    elif codec == "hamming84":
-        k_new = hamming84_encode_i32(qn)
-    else:
-        k_new = qn
+    qn = np.clip(np.round(new_f / scale[..., None]), -8, 7) + 8
+    k_new = jnp.asarray(encode_pack_rows(codec, qn, D))
     v_new = k_new
     ks_new = jnp.asarray(scale, jnp.float32)
     ctx_new = jnp.asarray(context_lens, jnp.int32) + 1
@@ -309,6 +286,46 @@ def test_write_attend_matches_scatter_then_attend(codec, rng):
     assert jnp.array_equal(vc2, c1["v_cache"])
     assert jnp.array_equal(ks2, c1["k_scales"])
     assert jnp.array_equal(vs2, c1["v_scales"])
+
+
+@pytest.mark.parametrize("codec", ["hamming84", "golay"])
+def test_collect_stats_matches_jnp_counts(codec, rng):
+    """collect_stats=True returns per-sequence (corrected, detected) counts
+    identical to the jnp decode path over the valid context (reference
+    get_ecc_stats accounting, ecc_shim.py:1627-1642)."""
+    from qkv_ecc_tpu.kernels import common as C
+    from qkv_ecc_tpu.kernels.paged_attention import gather_pages
+    from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
+
+    BM = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
+    context_lens = (23, 40)
+    cfg = ECCCacheConfig(
+        num_blocks=16, block_size=16, num_layers=2, num_kv_heads=2,
+        head_dim=64, codec=codec,
+    )
+    cache, bt, _ = build_cache(rng, cfg, 2, context_lens, ber=1e-2, seed=5)
+    q = jnp.asarray(rng.normal(size=(2, 4, 64)).astype(np.float32))
+    ctxs = jnp.asarray(context_lens, jnp.int32)
+    out, stats = paged_attention_ecc(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], bt, ctxs, 1, codec=codec, block_size=16,
+        precision="highest", collect_stats=True,
+    )
+    for b in range(2):
+        ctx = int(ctxs[b])
+        corr = det = 0
+        for name in ("k_cache", "v_cache"):
+            raw = gather_pages(cache[name], bt[b : b + 1], 1, bt.shape[1])[0][:ctx]
+            cw = swar.unpack_codewords(codec, raw, 64)
+            if codec == "hamming84":
+                _, et = C.hamming84_decode_i32(cw)
+                corr += int(jnp.sum(et == 1))
+                det += int(jnp.sum(et == 2))
+            else:
+                _, cnt = C.golay_decode_i32(cw, BM, zero_uncorrectable=True)
+                corr += int(jnp.sum(jnp.where(cnt < 4, cnt, 0)))
+                det += int(jnp.sum(cnt == 4))
+        assert np.asarray(stats)[b].tolist() == [corr, det]
 
 
 @pytest.mark.parametrize("codec", ["fp16", "fp8"])
@@ -389,8 +406,12 @@ def test_fused_interpolation_matches_oracle(rng):
 
     # oracle
     n_pages = block_table.shape[1]
-    k_raw = gather_pages(cache["k_cache"], block_table, 0, n_pages)
-    v_raw = gather_pages(cache["v_cache"], block_table, 0, n_pages)
+    k_raw = swar.unpack_codewords(
+        "hamming84", gather_pages(cache["k_cache"], block_table, 0, n_pages), D
+    )
+    v_raw = swar.unpack_codewords(
+        "hamming84", gather_pages(cache["v_cache"], block_table, 0, n_pages), D
+    )
     ks = gather_scales(cache["k_scales"], block_table, 0, n_pages)
     vs = gather_scales(cache["v_scales"], block_table, 0, n_pages)
     outs = []
