@@ -63,7 +63,7 @@ def main():
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)))
 
     def measure(mode):
-        policy = policy_for_mode(mode, ber=1e-2 if mode != "int4" else 1e-2, seed=42)
+        policy = policy_for_mode(mode, ber=1e-2, seed=42)
         state, block_table, _ = init_generation_state(
             cfg, policy, batch, prompt_len + decode_tokens + 8
         )
@@ -104,7 +104,10 @@ def main():
 
     golay_tps = measure("int12-golay")
     h84_tps = measure("int4-hamming84")
-    int4_tps = measure("int4")
+    # write-inject baseline: same persistent-corruption fault model as the
+    # protected arms (mode "int4" is the reference's READ-inject arm, which
+    # pays a per-step PRNG cost that is not part of a fair perf baseline)
+    int4_tps = measure("int4-write-inject")
 
     print(
         json.dumps(

@@ -68,6 +68,10 @@ class ECCEngineConfig:
     seed: int = 42
     use_interpolation: bool = False
     max_seqs: int = 32
+    # "write" = flips persist in the stored codewords (protected arms);
+    # "read" = fresh flips on the raw int4 nibbles at every attend (the
+    # reference's unprotected-arm fault model, unprotected_shim.py:276-302)
+    inject_at: str = "write"
 
     SUPPORTED_CODECS = ("fp16", "fp8", "int4", "hamming74", "hamming84", "golay")
 
@@ -76,6 +80,13 @@ class ECCEngineConfig:
             raise ValueError(
                 f"Unsupported codec: '{self.codec}'. "
                 f"Supported codecs: {sorted(self.SUPPORTED_CODECS)}"
+            )
+        if self.inject_at not in ("write", "read"):
+            raise ValueError(f"inject_at must be write|read: {self.inject_at}")
+        if self.inject_at == "read" and self.codec != "int4":
+            raise ValueError(
+                "read-time injection is only defined for the unprotected "
+                "int4 arm (reference unprotected_shim.py:276)"
             )
 
 
@@ -184,7 +195,8 @@ def _write_step_float(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("codec", "use_interpolation", "head_dim", "num_ctx", "causal"),
+    static_argnames=("codec", "use_interpolation", "head_dim", "num_ctx",
+                     "causal", "read_ber"),
 )
 def _attend_general(
     q,  # [Hq, S, D]
@@ -194,12 +206,14 @@ def _attend_general(
     v_scales,
     block_table_row,  # [max_blocks]
     layer_idx,
+    read_key=None,  # drives fresh read-time nibble flips (int4 arm)
     *,
     codec: str,
     use_interpolation: bool,
     head_dim: int,
     num_ctx: int,  # static context length (tokens)
     causal: bool,
+    read_ber: float = 0.0,
 ):
     """Gather + decode + (interpolate) + dequant + SDPA over one sequence.
 
@@ -225,7 +239,18 @@ def _attend_general(
     stats = {
         "corrected": jnp.zeros((), jnp.int32),
         "detected": jnp.zeros((), jnp.int32),
+        "read_flips": jnp.zeros((), jnp.int32),
     }
+    if read_ber > 0 and read_key is not None:
+        assert codec == "int4"
+        kk, vk = jax.random.split(read_key)
+        km = flip_mask_for(kk, k_raw.shape, read_ber, 4)
+        vm = flip_mask_for(vk, v_raw.shape, read_ber, 4)
+        stats["read_flips"] = jnp.sum(
+            jax.lax.population_count(km), dtype=jnp.int32
+        ) + jnp.sum(jax.lax.population_count(vm), dtype=jnp.int32)
+        k_raw = k_raw ^ km
+        v_raw = v_raw ^ vm
 
     def decode(raw):
         if codec == "fp16" or codec == "fp8":
@@ -319,7 +344,7 @@ def _attend_general(
         "hgst,thd->hgsd", w, v_f, precision=jax.lax.Precision.HIGHEST
     )
     out = out.reshape(Hq, S, D)
-    return out, stats["corrected"], stats["detected"]
+    return out, stats["corrected"], stats["detected"], stats["read_flips"]
 
 
 # =============================================================================
@@ -370,6 +395,7 @@ class ECCEngine:
         self._total_values = 0
         self._bits_flipped = 0
         self._total_bits = 0
+        self._read_count = 0
 
     def reset(self):
         self.manager.reset()
@@ -425,6 +451,7 @@ class ECCEngine:
             self.config.inject_errors
             and self.config.ber > 0
             and self.config.codec != "fp16"
+            and self.config.inject_at == "write"
         )
         key = self._injection_key(layer_idx)
         if inject:
@@ -474,6 +501,18 @@ class ECCEngine:
             out = jnp.zeros_like(q)
             return out[None] if squeeze else out
 
+        read = bool(
+            self.config.inject_at == "read"
+            and self.config.inject_errors
+            and self.config.ber > 0
+        )
+        if read:
+            self._read_count = getattr(self, "_read_count", 0) + 1
+            read_key = jax.random.fold_in(
+                jax.random.key(self.config.seed ^ 0x52454144), self._read_count
+            )
+            read_key = jax.random.fold_in(read_key, layer_idx)
+
         use_fused = (
             S == 1
             and self.config.codec in ("int4", "hamming74", "hamming84", "golay")
@@ -482,6 +521,15 @@ class ECCEngine:
         table = self.manager.block_table()
         if use_fused:
             n_pages = -(-ctx // self.config.block_size)
+            kwargs = {}
+            if read:
+                kwargs = dict(
+                    read_inject_ber=float(self.config.ber),
+                    read_inject_seed=jax.random.bits(
+                        read_key, (), "uint32"
+                    ).astype(jnp.int32),
+                    collect_stats=True,
+                )
             out = paged_attention_ecc(
                 q[:, 0, :][None],  # [1, Hq, D]
                 self.cache["k_cache"],
@@ -494,10 +542,17 @@ class ECCEngine:
                 codec=self.config.codec,
                 block_size=self.config.block_size,
                 num_pages=n_pages,
+                **kwargs,
             )
+            if read:
+                out, kstats = out
+                self._bits_flipped += int(kstats[0, 0])
+                self._total_bits += 2 * ctx * self.num_kv_heads * (
+                    swar.padded_values("int4", self.head_dim) * 4
+                )
             out = out[0][:, None, :]  # [Hq, 1, D]
         else:
-            out, corrected, detected = _attend_general(
+            out, corrected, detected, read_flips = _attend_general(
                 q,
                 self.cache["k_cache"],
                 self.cache["v_cache"],
@@ -505,12 +560,19 @@ class ECCEngine:
                 self.cache.get("v_scales"),
                 table[seq_id],
                 layer_idx,
+                read_key if read else None,
                 codec=self.config.codec,
                 use_interpolation=self.config.use_interpolation,
                 head_dim=self.head_dim,
                 num_ctx=ctx,
                 causal=S > 1,
+                read_ber=float(self.config.ber) if read else 0.0,
             )
             self._errors_corrected += int(corrected)
             self._errors_detected += int(detected)
+            if read:
+                self._bits_flipped += int(read_flips)
+                self._total_bits += 2 * ctx * self.num_kv_heads * (
+                    swar.padded_values("int4", self.head_dim) * 4
+                )
         return out[None] if squeeze else out

@@ -20,16 +20,21 @@ from .engine import ECCEngine, ECCEngineConfig
 
 @dataclasses.dataclass
 class UnprotectedEngineConfig(ECCEngineConfig):
-    """Forces codec='int4' (reference UnprotectedShimConfig forces the same,
-    unprotected_shim.py:108)."""
+    """Forces codec='int4' with READ-time injection (reference
+    UnprotectedShimConfig forces codec='int4', unprotected_shim.py:108, and
+    its backend injects fresh flips on the raw nibbles at every attend,
+    :276-302 - so during generation the same cached token is re-corrupted
+    independently each step, unlike the protected arms' persistent
+    write-time corruption)."""
 
     def __post_init__(self):
         self.codec = "int4"
+        self.inject_at = "read"
         super().__post_init__()
 
 
 class UnprotectedBackend(ECCEngine):
-    """INT4 write/attend with Bernoulli bit flips and no correction."""
+    """INT4 write/attend with Bernoulli read-time bit flips, no correction."""
 
     def __init__(self, config: UnprotectedEngineConfig, num_layers, num_heads,
                  num_kv_heads, head_dim):

@@ -20,7 +20,14 @@ CACHE_MODES = {
     },
     "int4": {
         "bits": 4,
-        "description": "INT4 Unprotected (no error correction)",
+        "description": "INT4 Unprotected (no error correction; fresh "
+        "read-time bit flips per attend, reference unprotected_shim.py:276)",
+        "protected": False,
+    },
+    "int4-write-inject": {
+        "bits": 4,
+        "description": "INT4 Unprotected, write-time (persistent) flips - "
+        "the like-for-like perf baseline for the protected arms",
         "protected": False,
     },
     "int4-hamming": {
@@ -59,6 +66,7 @@ CACHE_MODE_LABELS = {
     "fp16": "FP16 (Oracle)",
     "fp8": "FP8 (E4M3)",
     "int4": "INT4 (Unprotected)",
+    "int4-write-inject": "INT4 (Write-Inject)",
     "int4-hamming": "Hamming(7,4)",
     "int4-hamming84": "Hamming(8,4)",
     "int4-hamming84-interp": "H(8,4)+Interp",

@@ -30,9 +30,13 @@ Key differences from the reference (deliberate, TPU-first):
   * Golay IS fused: the arithmetic IMLD decoder replaces the 4096-entry
     syndrome LUT, which is what kept Golay out of the reference's fused
     kernel (attention_ecc.py:759-775 falls back to Python). Codewords are
-    packed 4-per-3-words (8.0 bits/value); the query is pre-permuted into
-    storage-lane order (with zero holes) OUTSIDE the kernel so the QK^T and
-    PV matmuls run straight on the bitcast nibble tiles.
+    byte-plane packed 4-per-3-words (8.0 bits/value) and rebuilt with three
+    bitcasts; the decoded third-partitioned nibble planes stack straight
+    into head-dim order.
+  * int4 read-time injection (the reference's unprotected-arm fault model,
+    unprotected_shim.py:276-302): fresh Bernoulli flips on the raw packed
+    nibbles at every attend via a counter-hash PRNG - the cache stays
+    clean, each step re-corrupts independently.
   * Online softmax state lives in VMEM scratch that persists across the
     sequential chunk dimension of the grid (flash-decoding style).
   * Optional in-kernel error counters (collect_stats=True): per-sequence
@@ -199,6 +203,7 @@ def _paged_attn_kernel(
     fused_write: bool,
     interpolate: bool,
     collect_stats: bool,
+    read_inject_threshold: int | None,
 ):
     refs = list(refs)
     if fused_write:
@@ -223,9 +228,23 @@ def _paged_attn_kernel(
     b = pl.program_id(0)
     c = pl.program_id(1)
     layer = layer_ref[0]
+    rseed = layer_ref[1]
     ctx = context_lens_ref[b]
     bs = block_size
     tokens_per_chunk = pages_per_chunk * bs
+    row_w = k_buf.shape[3]
+
+    def _read_flip_mask(i, h, t, shape):
+        """Fresh Bernoulli flips on the raw packed nibbles at read time
+        (the reference's unprotected-arm fault model,
+        unprotected_shim.py:276-302). Deterministic per
+        (step-seed, layer, seq, chunk, page, head, tensor)."""
+        uid = ((((layer * pl.num_programs(0) + b) * num_chunks + c)
+                * pages_per_chunk + i) * num_kv_heads + h) * 2 + t
+        base = uid * jnp.int32(row_w * bs)
+        return swar.hash_flip_mask(
+            rseed, base, shape, read_inject_threshold
+        )
 
     def chunk_copy(chunk, slot):
         return _ChunkCopy(
@@ -378,10 +397,25 @@ def _paged_attn_kernel(
                         jnp.int32, (1, bs), 1
                     )
                     valid = (lane < ctx).astype(jnp.int32)
-                    for buf in (k_buf, v_buf):
-                        cr, dt = _count_errors(codec, buf[slot, i, h], valid)
-                        corr_acc = corr_acc + cr
-                        det_acc = det_acc + dt
+                    for t, buf in enumerate((k_buf, v_buf)):
+                        if read_inject_threshold is not None:
+                            # int4 read-inject: stats[0] counts flipped
+                            # READ bits over the valid context (the
+                            # reference's actual_ber numerator,
+                            # unprotected_shim.py:555-574)
+                            m = _read_flip_mask(
+                                i, h, t, buf[slot, i, h].shape
+                            )
+                            corr_acc = corr_acc + jnp.sum(
+                                jax.lax.population_count(m * valid),
+                                dtype=jnp.int32,
+                            )
+                        else:
+                            cr, dt = _count_errors(
+                                codec, buf[slot, i, h], valid
+                            )
+                            corr_acc = corr_acc + cr
+                            det_acc = det_acc + dt
             stats_ref[0] += corr_acc
             stats_ref[1] += det_acc
 
@@ -420,11 +454,19 @@ def _paged_attn_kernel(
                     kt = (kd[i][:head_dim] - 8).astype(op_t)
                     vt = vd[i][:head_dim].astype(op_t)
                 else:
+                    kt_raw = k_buf[slot, i, h]
+                    vt_raw = v_buf[slot, i, h]
+                    if read_inject_threshold is not None:
+                        # corrupt the read VALUES only - the cache (and the
+                        # fused write-back above) stays clean, so the same
+                        # token is re-corrupted independently every step
+                        kt_raw = kt_raw ^ _read_flip_mask(i, h, 0, kt_raw.shape)
+                        vt_raw = vt_raw ^ _read_flip_mask(i, h, 1, vt_raw.shape)
                     kt = _decode_kt_tile(
-                        codec, k_buf[slot, i, h], head_dim, op_t, minus8=True
-                    )  # [L_s, bs]
+                        codec, kt_raw, head_dim, op_t, minus8=True
+                    )  # [head_dim, bs]
                     vt = _decode_kt_tile(
-                        codec, v_buf[slot, i, h], head_dim, op_t, minus8=False
+                        codec, vt_raw, head_dim, op_t, minus8=False
                     )
                 if not is_float_codec:
                     ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
@@ -480,6 +522,18 @@ def _paged_attn_kernel(
         out_ref[:] = out.reshape(out_ref.shape).astype(out_ref.dtype)
 
 
+def _read_threshold(read_inject_ber: float, codec: str):
+    """Static uint32 Bernoulli threshold for read-time injection, or None."""
+    if not read_inject_ber or read_inject_ber <= 0:
+        return None
+    if codec != "int4":
+        raise ValueError(
+            "read-time injection is only defined for the unprotected int4 "
+            "arm (reference unprotected_shim.py:276)"
+        )
+    return min(int(float(read_inject_ber) * (2.0**32)), 0xFFFFFFFF)
+
+
 def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
                   sm_scale, pages_per_chunk):
     batch, num_q_heads, head_dim = query.shape
@@ -508,7 +562,7 @@ def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
-                     "collect_stats"),
+                     "collect_stats", "read_inject_ber"),
 )
 def paged_attention_ecc(
     query,
@@ -528,6 +582,8 @@ def paged_attention_ecc(
     precision: str = "fast",
     use_interpolation: bool = False,
     collect_stats: bool = False,
+    read_inject_ber: float = 0.0,
+    read_inject_seed=0,
 ):
     """Decode-phase fused paged attention with inline ECC decode.
 
@@ -620,6 +676,7 @@ def paged_attention_ecc(
         fused_write=False,
         interpolate=use_interpolation,
         collect_stats=collect_stats,
+        read_inject_threshold=_read_threshold(read_inject_ber, codec),
     )
 
     outs = pl.pallas_call(
@@ -628,7 +685,8 @@ def paged_attention_ecc(
         out_shape=out_shape,
         interpret=C.use_interpret(),
     )(
-        jnp.asarray([layer_idx], jnp.int32),
+        jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                   jnp.asarray(read_inject_seed, jnp.int32)]),
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         q4,
@@ -647,7 +705,7 @@ def paged_attention_ecc(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
-                     "collect_stats"),
+                     "collect_stats", "read_inject_ber"),
     donate_argnums=(5, 6, 7, 8),
 )
 def paged_attention_ecc_write_attend(
@@ -672,6 +730,8 @@ def paged_attention_ecc_write_attend(
     precision: str = "fast",
     use_interpolation: bool = False,
     collect_stats: bool = False,
+    read_inject_ber: float = 0.0,
+    read_inject_seed=0,
 ):
     """Fused decode-step cache WRITE + paged attention in ONE kernel.
 
@@ -793,6 +853,7 @@ def paged_attention_ecc_write_attend(
         fused_write=True,
         interpolate=use_interpolation,
         collect_stats=collect_stats,
+        read_inject_threshold=_read_threshold(read_inject_ber, codec),
     )
 
     outs = pl.pallas_call(
@@ -804,7 +865,8 @@ def paged_attention_ecc_write_attend(
         input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
         interpret=C.use_interpret(),
     )(
-        jnp.asarray([layer_idx], jnp.int32),
+        jnp.stack([jnp.asarray(layer_idx, jnp.int32),
+                   jnp.asarray(read_inject_seed, jnp.int32)]),
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         q4,

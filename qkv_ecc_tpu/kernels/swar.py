@@ -291,6 +291,47 @@ def golay_unpack4(w, axis=-1):
 
 
 # =============================================================================
+# Counter-hash Bernoulli flips (read-time injection inside kernels)
+# =============================================================================
+
+
+def _murmur_mix(z):
+    """murmur3 finalizer on int32 lanes - a statistically solid counter
+    hash from pure VPU ops (portable: identical bits compiled on TPU and
+    in the Pallas interpreter, unlike pltpu.prng_* which has no CPU
+    lowering)."""
+    z = z ^ ((z >> 16) & 0xFFFF)
+    z = z * jnp.int32(-2048144789)  # 0x85EBCA6B
+    z = z ^ ((z >> 13) & 0x7FFFF)
+    z = z * jnp.int32(-1028477387)  # 0xC2B2AE35
+    z = z ^ ((z >> 16) & 0xFFFF)
+    return z
+
+
+def hash_flip_mask(seed, base, shape, threshold: int, n_bits: int = 32):
+    """Deterministic Bernoulli bit-flip mask for a kernel tile.
+
+    Each of the lower n_bits of each element flips independently with
+    probability threshold / 2^32. `seed` is a traced int32 scalar; `base`
+    a traced int32 distinguishing the tile (the (tile, element, bit)
+    triple indexes a unique counter, mirroring the reference's
+    fault_injection_triton.py:247 seed formula)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    l = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    elem = r * shape[-1] + l
+    # unsigned compare via sign-bit trick: (u32)x < (u32)t
+    tb = (int(threshold) ^ (1 << 31)) & 0xFFFFFFFF
+    tbias = jnp.int32(tb - (1 << 32) if tb >= (1 << 31) else tb)
+    mask = jnp.zeros(shape, jnp.int32)
+    for b in range(n_bits):
+        c = (base + elem) * jnp.int32(n_bits) + b
+        z = _murmur_mix(c * jnp.int32(-1640531527) + seed)  # 0x9E3779B9
+        flip = (z ^ jnp.int32(-(1 << 31))) < tbias
+        mask = mask | (flip.astype(jnp.int32) << b)
+    return mask
+
+
+# =============================================================================
 # Unified row packing (engine / runtime write path; jnp, XLA-land)
 # =============================================================================
 

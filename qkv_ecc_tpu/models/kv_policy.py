@@ -45,16 +45,37 @@ class KVCachePolicy:
     inject_errors: bool = False
     seed: int = 42
     use_interpolation: bool = False
+    # Where Bernoulli flips land. "write": once, on the stored codewords
+    # (the protected arms' model - errors persist in the cache). "read":
+    # fresh flips on the raw INT4 nibbles at EVERY attend, the reference's
+    # unprotected-arm fault model (unprotected_shim.py:276-302) - during
+    # generation the same cached token is re-corrupted differently each
+    # step, and actual_ber is measured over READ bits.
+    inject_at: str = "write"
 
     def with_seed(self, seed: int) -> "KVCachePolicy":
         return dataclasses.replace(self, seed=seed)
 
+    def __post_init__(self):
+        if self.inject_at not in ("write", "read"):
+            raise ValueError(f"inject_at must be write|read, got {self.inject_at}")
+        if self.inject_at == "read" and self.codec != "int4":
+            raise ValueError(
+                "read-time injection models raw-nibble corruption and is "
+                "only defined for the unprotected int4 arm "
+                "(reference unprotected_shim.py:276)"
+            )
 
-# Mode name -> policy kwargs (reference evaluation/constants.py:157-165)
+
+# Mode name -> policy kwargs (reference evaluation/constants.py:157-165).
+# "int4" uses READ-time injection like the reference's unprotected shim;
+# "int4-write-inject" is the write-once variant (this framework's addition,
+# useful as the like-for-like perf baseline for the protected arms).
 MODE_CONFIG = {
     "fp16": {"codec": "fp16", "use_interpolation": False},
     "fp8": {"codec": "fp8", "use_interpolation": False},
-    "int4": {"codec": "int4", "use_interpolation": False},
+    "int4": {"codec": "int4", "use_interpolation": False, "inject_at": "read"},
+    "int4-write-inject": {"codec": "int4", "use_interpolation": False},
     "int4-hamming": {"codec": "hamming74", "use_interpolation": False},
     "int4-hamming84": {"codec": "hamming84", "use_interpolation": False},
     "int4-hamming84-interp": {"codec": "hamming84", "use_interpolation": True},
@@ -72,6 +93,7 @@ def policy_for_mode(mode: str, ber: float = 0.0, seed: int = 42) -> KVCachePolic
         inject_errors=ber > 0,
         seed=seed,
         use_interpolation=cfg["use_interpolation"],
+        inject_at=cfg.get("inject_at", "write"),
     )
 
 
@@ -100,7 +122,9 @@ def encode_kv(x, policy: KVCachePolicy, key):
     """
     codec = policy.codec
     x = jnp.asarray(x, jnp.float32)
-    inject = policy.inject_errors and policy.ber > 0
+    inject = (
+        policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
+    )
     flips = jnp.zeros((), jnp.int32)
 
     if codec == "fp16":
@@ -138,17 +162,35 @@ def pack_kv(enc, policy: KVCachePolicy, head_dim: int):
     return swar.pack_codewords(policy.codec, enc, head_dim)
 
 
-def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int, seq_axis: int = 1):
+def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int,
+              seq_axis: int = 1, read_key=None):
     """Decode + (interpolate) + dequantize. Inverse of encode_kv.
 
-    Returns (x float32 [..., head_dim], corrected, detected).
+    With policy.inject_at == "read" (unprotected int4 arm), `read_key`
+    drives FRESH Bernoulli flips on the raw nibbles before dequantization -
+    the reference's attend-time corruption (unprotected_shim.py:276-302).
+
+    Returns (x float32 [..., head_dim], corrected, detected[, read_flips
+    when read_key is given]).
     """
     codec = policy.codec
     zero = jnp.zeros((), jnp.int32)
+    read_inject = (
+        policy.inject_at == "read"
+        and policy.inject_errors
+        and policy.ber > 0
+        and read_key is not None
+    )
+    read_flips = zero
     if codec == "fp16" or codec == "fp8":
-        return enc.astype(jnp.float32), zero, zero
+        out = enc.astype(jnp.float32), zero, zero
+        return out + (read_flips,) if read_key is not None else out
 
     if codec == "int4":
+        if read_inject:
+            mask = flip_mask_for(read_key, enc.shape, policy.ber, 4)
+            read_flips = jnp.sum(jax.lax.population_count(mask), dtype=jnp.int32)
+            enc = enc ^ mask
         dec = enc & 0xF
         corrected = detected = zero
     elif codec == "hamming74":
@@ -180,7 +222,10 @@ def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int, seq_axis: int
         raise ValueError(f"Unknown codec: {codec}")
 
     dec = dec[..., :head_dim]  # drop packing-granularity padding
-    return (dec.astype(jnp.float32) - 8.0) * scale[..., None], corrected, detected
+    x = (dec.astype(jnp.float32) - 8.0) * scale[..., None]
+    if read_key is not None:
+        return x, corrected, detected, read_flips
+    return x, corrected, detected
 
 
 def kv_roundtrip(x, policy: KVCachePolicy, key, *, seq_axis: int = 1):
@@ -196,10 +241,22 @@ def kv_roundtrip(x, policy: KVCachePolicy, key, *, seq_axis: int = 1):
     stats["total_values"] = jnp.asarray(x.size, jnp.int32)
     head_dim = x.shape[-1]
     enc, scale, flips = encode_kv(x, policy, key)
-    stats["bits_flipped"] = flips
-    out, corrected, detected = decode_kv(
-        enc, scale, policy, head_dim=head_dim, seq_axis=seq_axis
+    read_key = (
+        jax.random.fold_in(key, 0x52454144)  # "READ" stream
+        if policy.inject_at == "read"
+        else None
     )
+    if read_key is not None:
+        out, corrected, detected, read_flips = decode_kv(
+            enc, scale, policy, head_dim=head_dim, seq_axis=seq_axis,
+            read_key=read_key,
+        )
+        flips = flips + read_flips
+    else:
+        out, corrected, detected = decode_kv(
+            enc, scale, policy, head_dim=head_dim, seq_axis=seq_axis
+        )
+    stats["bits_flipped"] = flips
     stats["errors_corrected"] = corrected
     stats["errors_detected"] = detected
     return out, stats

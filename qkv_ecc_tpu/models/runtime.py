@@ -151,6 +151,7 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVC
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3)
     x = _embed(params, input_ids, cfg, positions)
+    read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, step_key)
@@ -161,8 +162,18 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVC
             pack_kv(kc, policy, cfg.head_dim), pack_kv(vc, policy, cfg.head_dim),
             ks, vs,
         )
-        k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=cfg.head_dim, seq_axis=1)
-        v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=cfg.head_dim, seq_axis=1)
+        if read:  # unprotected arm: fresh flips on the nibbles read back
+            krk = jax.random.fold_in(kk, 0x52454144)
+            vrk = jax.random.fold_in(vk, 0x52454144)
+            k_dec, _, _, _ = decode_kv(
+                kc, ks, policy, head_dim=cfg.head_dim, seq_axis=1, read_key=krk
+            )
+            v_dec, _, _, _ = decode_kv(
+                vc, vs, policy, head_dim=cfg.head_dim, seq_axis=1, read_key=vrk
+            )
+        else:
+            k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=cfg.head_dim, seq_axis=1)
+            v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=cfg.head_dim, seq_axis=1)
         attn = causal_attention(
             q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfg.num_kv_groups
         )
@@ -187,6 +198,15 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
     positions = pos[:, None]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3)
     x = _embed(params, token_ids[:, None], cfg, positions)
+    read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
+    ri_ber = float(policy.ber) if read else 0.0
+    ri_seed = (
+        jax.random.bits(
+            jax.random.fold_in(step_key, 0x52454144), (), "uint32"
+        ).astype(jnp.int32)
+        if read
+        else 0
+    )
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
@@ -221,6 +241,8 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
             codec=policy.codec,
             block_size=block_size,
             use_interpolation=policy.use_interpolation,
+            read_inject_ber=ri_ber,
+            read_inject_seed=ri_seed,
         )
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
     logits = _lm_head(params, x, cfg)[:, 0]

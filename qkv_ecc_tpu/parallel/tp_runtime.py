@@ -81,8 +81,16 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     vcp = pack_kv(vc, policy, D)
     if ks is None:  # float codecs (fp16/fp8) carry no dequant scales
         ks = vs = jnp.ones(kcp.shape[:3], jnp.float32)
+    read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
 
     if fused_attend:
+        ri_seed = (
+            jax.random.bits(
+                jax.random.fold_in(kk, 0x52454144), (), "uint32"
+            ).astype(jnp.int32)
+            if read
+            else 0
+        )
         # fused write+attend: in-place aliased cache update, decode-phase
         # attention on the LOCAL kv-head shard (no collective)
         (
@@ -107,6 +115,8 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             codec=policy.codec,
             block_size=block_size,
             use_interpolation=policy.use_interpolation,
+            read_inject_ber=float(policy.ber) if read else 0.0,
+            read_inject_seed=ri_seed,
         )
         attn = attn[:, None]
     else:
@@ -114,8 +124,18 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             state = _write_tokens(
                 state, layer_idx, block_table, positions, kcp, vcp, ks, vs
             )
-        k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=D, seq_axis=1)
-        v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=D, seq_axis=1)
+        if read:
+            k_dec, _, _, _ = decode_kv(
+                kc, ks, policy, head_dim=D, seq_axis=1,
+                read_key=jax.random.fold_in(kk, 0x52454144),
+            )
+            v_dec, _, _, _ = decode_kv(
+                vc, vs, policy, head_dim=D, seq_axis=1,
+                read_key=jax.random.fold_in(vk, 0x52454144),
+            )
+        else:
+            k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=D, seq_axis=1)
+            v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=D, seq_axis=1)
         attn = causal_attention(
             q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfgl.num_kv_groups
         )
