@@ -143,6 +143,20 @@ MODELS = {
         "requires_auth": False,
         "chip": "v5e",
     },
+    # byte-level model trained IN-CONTAINER (qkv_ecc_tpu/training/) so the
+    # quality tables show real degradation; checkpoint via --checkpoint or
+    # QKV_TINY_CHECKPOINT (default results/trained_tiny/checkpoint.npz)
+    "trained-tiny": {
+        "hf_id": None,
+        "config": "trained-tiny",
+        "type": "gpt2",
+        "layers": 6,
+        "hidden_size": 256,
+        "num_attention_heads": 8,
+        "num_kv_heads": 8,
+        "requires_auth": False,
+        "chip": "v5e",
+    },
 }
 
 DEFAULT_MODEL = "gpt2"

@@ -65,7 +65,21 @@ def run_monte_carlo_experiment(config: MonteCarloConfig, progress=print):
         config.model, allow_random_init=config.allow_random_init
     )
     progress(f"Loading evaluation texts (max {config.max_samples})...")
-    texts = load_wikitext2_test(max_samples=config.max_samples)
+    texts = None
+    if config.model == "trained-tiny":
+        # evaluate on the held-out split saved next to the checkpoint
+        # (data the model never trained on; train_tiny.py writes it)
+        import json
+
+        ckpt = os.environ.get(
+            "QKV_TINY_CHECKPOINT", "results/trained_tiny/checkpoint.npz"
+        )
+        tp = ckpt + ".eval_texts.json"
+        if os.path.exists(tp):
+            with open(tp) as fh:
+                texts = json.load(fh)[: config.max_samples]
+    if texts is None:
+        texts = load_wikitext2_test(max_samples=config.max_samples)
 
     clean_logits = None
     if config.compute_kl:

@@ -35,6 +35,22 @@ def load_model(
     meta = MODELS[model_name]
     cfg = get_model_config(meta["config"])
 
+    if model_name == "trained-tiny":
+        # in-container trained checkpoint (qkv_ecc_tpu/training/)
+        from ..training.trainer import load_params
+
+        path = os.environ.get(
+            "QKV_TINY_CHECKPOINT", "results/trained_tiny/checkpoint.npz"
+        )
+        if os.path.exists(path):
+            return load_params(path, cfg), cfg, ByteTokenizer()
+        if not allow_random_init:
+            raise RuntimeError(
+                f"trained-tiny checkpoint not found at {path}; run "
+                "python -m qkv_ecc_tpu.evaluation.experiments.train_tiny"
+            )
+        return init_params(cfg, seed), cfg, ByteTokenizer()
+
     hf_id = meta["hf_id"]
     if hf_id is not None:
         if meta["requires_auth"] and not os.environ.get("HF_TOKEN"):

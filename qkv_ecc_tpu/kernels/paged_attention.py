@@ -204,6 +204,7 @@ def _paged_attn_kernel(
     interpolate: bool,
     collect_stats: bool,
     read_inject_threshold: int | None,
+    sliding_window: int | None,
 ):
     refs = list(refs)
     if fused_write:
@@ -486,7 +487,12 @@ def _paged_attn_kernel(
                 token_ids = page_start + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, dimension=1
                 )
-                s = jnp.where(token_ids < ctx, s, _NEG_INF)
+                live = token_ids < ctx
+                if sliding_window is not None:
+                    # decode query position is ctx-1: attend to the last
+                    # `sliding_window` tokens only (HF Mistral semantics)
+                    live = live & (token_ids >= ctx - sliding_window)
+                s = jnp.where(live, s, _NEG_INF)
 
                 m_prev = m_scr[r0:r1, :1]  # [group, 1]
                 l_prev = l_scr[r0:r1, :1]
@@ -562,7 +568,7 @@ def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
-                     "collect_stats", "read_inject_ber"),
+                     "collect_stats", "read_inject_ber", "sliding_window"),
 )
 def paged_attention_ecc(
     query,
@@ -584,6 +590,7 @@ def paged_attention_ecc(
     collect_stats: bool = False,
     read_inject_ber: float = 0.0,
     read_inject_seed=0,
+    sliding_window: int | None = None,
 ):
     """Decode-phase fused paged attention with inline ECC decode.
 
@@ -677,6 +684,7 @@ def paged_attention_ecc(
         interpolate=use_interpolation,
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
+        sliding_window=sliding_window,
     )
 
     outs = pl.pallas_call(
@@ -705,7 +713,7 @@ def paged_attention_ecc(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
-                     "collect_stats", "read_inject_ber"),
+                     "collect_stats", "read_inject_ber", "sliding_window"),
     donate_argnums=(5, 6, 7, 8),
 )
 def paged_attention_ecc_write_attend(
@@ -732,6 +740,7 @@ def paged_attention_ecc_write_attend(
     collect_stats: bool = False,
     read_inject_ber: float = 0.0,
     read_inject_seed=0,
+    sliding_window: int | None = None,
 ):
     """Fused decode-step cache WRITE + paged attention in ONE kernel.
 
@@ -854,6 +863,7 @@ def paged_attention_ecc_write_attend(
         interpolate=use_interpolation,
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
+        sliding_window=sliding_window,
     )
 
     outs = pl.pallas_call(

@@ -114,8 +114,27 @@ TINY_LLAMA = ModelConfig(
     tie_word_embeddings=False,
 )
 
+# In-container trainable byte-level GPT-2 (see qkv_ecc_tpu/training/):
+# large enough that KV-cache corruption visibly destroys its predictions,
+# small enough to train in minutes on one chip.
+TRAINED_TINY = ModelConfig(
+    name="trained-tiny",
+    arch="gpt2",
+    vocab_size=256,
+    hidden_size=256,
+    num_layers=6,
+    num_heads=8,
+    num_kv_heads=8,
+    head_dim=32,
+    intermediate_size=1024,
+    max_position_embeddings=512,
+)
+
 MODEL_CONFIGS = {
-    c.name: c for c in (GPT2_124M, MISTRAL_7B, LLAMA31_8B, TINY_GPT2, TINY_LLAMA)
+    c.name: c
+    for c in (
+        GPT2_124M, MISTRAL_7B, LLAMA31_8B, TINY_GPT2, TINY_LLAMA, TRAINED_TINY
+    )
 }
 
 

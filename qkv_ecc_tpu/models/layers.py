@@ -63,11 +63,14 @@ def apply_rope(x, positions, inv_freq):
     return rotated.astype(x.dtype)
 
 
-def causal_attention(q, k, v, num_kv_groups: int, *, kv_offset: int = 0):
+def causal_attention(q, k, v, num_kv_groups: int, *, kv_offset: int = 0,
+                     sliding_window: int | None = None):
     """Grouped-query causal SDPA.
 
     q: [B, S, Hq, D]; k, v: [B, T, Hkv, D]. The last S query positions align
     with the last S of T context positions (kv_offset = T - S).
+    sliding_window W (Mistral): query position p attends only to context
+    positions j with p - W < j <= p (HF eager semantics).
     Returns [B, S, Hq, D]. fp32 softmax.
     """
     B, S, Hq, D = q.shape
@@ -80,6 +83,8 @@ def causal_attention(q, k, v, num_kv_groups: int, *, kv_offset: int = 0):
     qi = jnp.arange(S)[:, None]
     tj = jnp.arange(T)[None, :]
     mask = tj <= qi + kv_offset
+    if sliding_window is not None:
+        mask = mask & (tj > qi + kv_offset - sliding_window)
     s = jnp.where(mask[None, None, None], s, -1e30)
     w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhgst,bthd->bshgd", w, v)

@@ -66,7 +66,9 @@ def _block(x, lp, cfg: ModelConfig, policy, layer_idx, positions, inv_freq):
     k = k.astype(x.dtype)
     v = v.astype(x.dtype)
 
-    attn = causal_attention(q, k, v, cfg.num_kv_groups).reshape(B, S, H * D)
+    attn = causal_attention(
+        q, k, v, cfg.num_kv_groups, sliding_window=cfg.sliding_window
+    ).reshape(B, S, H * D)
     x = x + attn @ lp["o_proj"]
 
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)

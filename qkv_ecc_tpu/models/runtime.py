@@ -175,7 +175,8 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVC
             k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=cfg.head_dim, seq_axis=1)
             v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=cfg.head_dim, seq_axis=1)
         attn = causal_attention(
-            q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfg.num_kv_groups
+            q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfg.num_kv_groups,
+            sliding_window=cfg.sliding_window,
         )
         x = _attn_out_mlp(x, attn, lp, cfg)
     logits = _lm_head(params, x[:, -1:, :], cfg)[:, 0]
@@ -243,6 +244,7 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
             use_interpolation=policy.use_interpolation,
             read_inject_ber=ri_ber,
             read_inject_seed=ri_seed,
+            sliding_window=cfg.sliding_window,
         )
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
     logits = _lm_head(params, x, cfg)[:, 0]

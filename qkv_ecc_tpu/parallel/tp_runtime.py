@@ -117,6 +117,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             use_interpolation=policy.use_interpolation,
             read_inject_ber=float(policy.ber) if read else 0.0,
             read_inject_seed=ri_seed,
+            sliding_window=cfgl.sliding_window,
         )
         attn = attn[:, None]
     else:
@@ -137,7 +138,8 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=D, seq_axis=1)
             v_dec, _, _ = decode_kv(vc, vs, policy, head_dim=D, seq_axis=1)
         attn = causal_attention(
-            q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfgl.num_kv_groups
+            q, k_dec.astype(x.dtype), v_dec.astype(x.dtype), cfgl.num_kv_groups,
+            sliding_window=cfgl.sliding_window,
         )
 
     attn = attn.reshape(B, S, H * D)

@@ -1,0 +1,87 @@
+"""Deterministic in-container text corpus.
+
+Sources (no network): Python sources of the large installed libraries
+(tens of MB of code + English docstrings/comments) and the system license
+texts. Files are collected in sorted order and split train/held-out
+deterministically, so the corpus (and therefore the trained model and the
+sweep tables built on it) is reproducible across runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Tuple
+
+_LIB_ROOTS = ("transformers", "jax", "numpy", "torch")
+_EXTRA_FILES = ("/THIRD_PARTY_NOTICES/LICENSES.txt",)
+
+
+def _site_packages() -> str:
+    import numpy
+
+    return os.path.dirname(os.path.dirname(numpy.__file__))
+
+
+def _iter_py_files(max_files_per_lib: int = 4000) -> List[str]:
+    sp = _site_packages()
+    out: List[str] = []
+    for lib in _LIB_ROOTS:
+        root = os.path.join(sp, lib)
+        if not os.path.isdir(root):
+            continue
+        files = []
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            for f in sorted(filenames):
+                if f.endswith(".py"):
+                    files.append(os.path.join(dirpath, f))
+        out.extend(files[:max_files_per_lib])
+    return out
+
+
+def build_corpus(
+    max_bytes: int = 32 * 1024 * 1024,
+    holdout_every: int = 53,
+    eval_texts: int = 20,
+    eval_chars: int = 2000,
+) -> Tuple[bytes, List[str]]:
+    """Returns (train_bytes, held_out_eval_texts).
+
+    Every `holdout_every`-th file is held out; eval texts are fixed-size
+    character windows from the held-out set (the sweep's "WikiText-2 test
+    samples" analogue, reference metrics.py:121)."""
+    train_parts: List[bytes] = []
+    hold_parts: List[str] = []
+    total = 0
+    files = _iter_py_files()
+    for i, path in enumerate(files):
+        if total >= max_bytes and len(hold_parts) >= eval_texts * 2:
+            break
+        try:
+            with open(path, "rb") as fh:
+                data = fh.read()
+        except OSError:
+            continue
+        if len(data) < 256:
+            continue
+        if i % holdout_every == 0:
+            hold_parts.append(data.decode("utf-8", errors="replace"))
+        elif total < max_bytes:
+            train_parts.append(data)
+            total += len(data) + 2
+    for path in _EXTRA_FILES:
+        try:
+            with open(path, "rb") as fh:
+                train_parts.append(fh.read())
+        except OSError:
+            pass
+
+    texts: List[str] = []
+    for t in hold_parts:
+        for start in range(0, max(len(t) - eval_chars, 1), eval_chars):
+            texts.append(t[start : start + eval_chars])
+            if len(texts) >= eval_texts:
+                break
+        if len(texts) >= eval_texts:
+            break
+    return b"\n\n".join(train_parts), texts
