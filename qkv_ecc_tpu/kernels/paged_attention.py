@@ -224,7 +224,11 @@ def _paged_attn_kernel(
     else:
         k_buf, v_buf, ks_buf, vs_buf, sem = refs[:5]
         del refs[:5]
-    m_scr, l_scr, acc_scr = refs
+    m_scr, l_scr, acc_scr = refs[:3]
+    # persists across the sequential chunk grid dim: the PRE-interpolation
+    # decoded last column of each chunk, so the next chunk's first token
+    # has its true left temporal neighbor (chunk-seam exactness)
+    edge_scr = refs[3] if (interpolate and codec == "hamming84") else None
 
     b = pl.program_id(0)
     c = pl.program_id(1)
@@ -359,17 +363,26 @@ def _paged_attn_kernel(
         is_float_codec = codec in ("fp16", "fp8")
         do_interp = interpolate and codec == "hamming84"
 
-        def interp_pages(pages_dec, pages_et, chunk_base):
+        def interp_pages(pages_dec, pages_et, chunk_base, prev_edge_col):
             """SECDED double-error temporal interpolation across the chunk's
             consecutive pages: v_hat[t] = floor((v[t-1]+v[t+1])/2 + 0.5) at
             DOUBLE_DETECTED positions (oracle: codecs/interpolation.py).
-            Neighbors cross page boundaries inside the chunk; the rare
-            double error in a chunk-edge lane clamps to itself (the
-            reference's fused kernel skipped interpolation entirely,
-            ecc_shim.py:791-799)."""
+            Neighbors cross page boundaries inside the chunk AND across
+            chunks on the left (prev_edge_col = previous chunk's last
+            pre-interpolation column, carried in VMEM scratch). The only
+            remaining approximation: a double error in the LAST token of a
+            non-final chunk clamps its right neighbor to itself (the true
+            right neighbor lives in the not-yet-decoded next chunk). The
+            reference's fused kernel skipped interpolation entirely
+            (ecc_shim.py:791-799)."""
             out = []
             for i, (x, et) in enumerate(zip(pages_dec, pages_et)):
-                lcol = pages_dec[i - 1][:, -1:] if i > 0 else x[:, :1]
+                if i > 0:
+                    lcol = pages_dec[i - 1][:, -1:]
+                else:
+                    # first page of the chunk: previous chunk's edge column
+                    # (self-clamp only for the very first chunk)
+                    lcol = jnp.where(c > 0, prev_edge_col, x[:, :1])
                 rcol = (
                     pages_dec[i + 1][:, :1]
                     if i + 1 < len(pages_dec)
@@ -444,8 +457,15 @@ def _paged_attn_kernel(
                             _i32(pltpu.bitcast(double * 0xFF, jnp.int8)) != 0
                         )
                 chunk_base = c * pages_per_chunk * bs
-                kd = interp_pages(kd, ket, chunk_base)
-                vd = interp_pages(vd, vet, chunk_base)
+                k_edge_prev = edge_scr[0, h][:, 0:1]
+                v_edge_prev = edge_scr[1, h][:, 0:1]
+                k_last = kd[-1][:, -1:]
+                v_last = vd[-1][:, -1:]
+                kd = interp_pages(kd, ket, chunk_base, k_edge_prev)
+                vd = interp_pages(vd, vet, chunk_base, v_edge_prev)
+                # store this chunk's PRE-interp last column for chunk c+1
+                edge_scr[0, h] = jnp.broadcast_to(k_last, edge_scr.shape[2:])
+                edge_scr[1, h] = jnp.broadcast_to(v_last, edge_scr.shape[2:])
             for i in range(pages_per_chunk):
                 page_start = (c * pages_per_chunk + i) * bs
                 if is_float_codec:
@@ -665,7 +685,13 @@ def paged_attention_ecc(
             pltpu.VMEM((num_q_heads, 128), jnp.float32),
             pltpu.VMEM((num_q_heads, 128), jnp.float32),
             pltpu.VMEM((num_q_heads, head_dim), jnp.float32),
-        ],
+        ]
+        + (
+            # cross-chunk interpolation edge columns (see _paged_attn_kernel)
+            [pltpu.VMEM((2, num_kv_heads, 4 * row_w, 128), jnp.int32)]
+            if use_interpolation and codec == "hamming84"
+            else []
+        ),
     )
 
     kernel = functools.partial(
@@ -844,7 +870,12 @@ def paged_attention_ecc_write_attend(
             pltpu.VMEM((num_q_heads, 128), jnp.float32),
             pltpu.VMEM((num_q_heads, 128), jnp.float32),
             pltpu.VMEM((num_q_heads, head_dim), jnp.float32),
-        ],
+        ]
+        + (
+            [pltpu.VMEM((2, num_kv_heads, 4 * row_w, 128), jnp.int32)]
+            if use_interpolation and codec == "hamming84"
+            else []
+        ),
     )
 
     kernel = functools.partial(

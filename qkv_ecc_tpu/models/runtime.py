@@ -141,11 +141,19 @@ def _lm_head(params, x, cfg: ModelConfig):
 @functools.partial(
     jax.jit, static_argnames=("cfg", "policy"), donate_argnums=(2,)
 )
-def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVCachePolicy, step_key):
+def prefill(params, input_ids, state, block_table, cfg: ModelConfig,
+            policy: KVCachePolicy, step_key, logit_pos=None,
+            true_len=None):
     """Process the prompt: write the ECC cache and return last-token logits.
 
     input_ids: [B, S]. Attention uses the encode->decode roundtrip (identical
     values to what was just written).
+
+    Bucketed prompts (serving): pass `logit_pos` [B] (the TRUE last prompt
+    position; logits are gathered there instead of at S-1) and `true_len`
+    [B] (stored as context_len so the padding tail is overwritten by decode
+    before it can ever be attended - causal masking keeps real tokens from
+    seeing the pad K/V during prefill).
     """
     B, S = input_ids.shape
     positions = jnp.broadcast_to(jnp.arange(S), (B, S))
@@ -179,8 +187,15 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig, policy: KVC
             sliding_window=cfg.sliding_window,
         )
         x = _attn_out_mlp(x, attn, lp, cfg)
-    logits = _lm_head(params, x[:, -1:, :], cfg)[:, 0]
-    state["context_len"] = jnp.full((B,), S, jnp.int32)
+    if logit_pos is None:
+        x_last = x[:, -1:, :]
+    else:
+        x_last = jnp.take_along_axis(x, logit_pos[:, None, None], axis=1)
+    logits = _lm_head(params, x_last, cfg)[:, 0]
+    state["context_len"] = (
+        jnp.full((B,), S, jnp.int32) if true_len is None
+        else jnp.asarray(true_len, jnp.int32)
+    )
     return logits, state
 
 

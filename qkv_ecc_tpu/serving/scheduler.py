@@ -7,8 +7,11 @@ at a time through a patched HF model; SURVEY.md §2.9). Design:
     serves every batch composition). Each active slot owns pages in the
     shared paged cache through the host-side `BlockManager`.
   * Admission runs a single-sequence jitted prefill into the shared cache
-    (classic stall-the-decoder continuous batching). Prefill compiles once
-    per distinct prompt length; pad prompts host-side if that matters.
+    (classic stall-the-decoder continuous batching). Prompts are padded to
+    `prefill_bucket` boundaries so at most max_seq_len/prefill_bucket
+    distinct prefill shapes ever compile (no compile-storm under real
+    traffic); logits are gathered at the true last prompt position and
+    context_len excludes the pad tail.
   * One fused decode step advances ALL active slots: per layer, the new
     tokens' K/V are quantized+ECC-encoded(+fault-injected) and written
     in-place by the fused write+attend Pallas kernel.
@@ -77,6 +80,7 @@ class ContinuousBatchingServer:
         max_seq_len: int = 2048,
         num_blocks: Optional[int] = None,
         block_size: int = 128,
+        prefill_bucket: int = 128,
     ):
         if policy.codec not in FUSED_CODECS:
             raise NotImplementedError(
@@ -88,6 +92,11 @@ class ContinuousBatchingServer:
         self.policy = policy
         self.max_batch = max_batch
         self.block_size = block_size
+        # prompts are padded up to a multiple of this before prefill, so at
+        # most max_seq_len/prefill_bucket distinct prefill shapes ever
+        # compile (unbucketed admission compile-storms under real traffic -
+        # one XLA compilation per distinct prompt length)
+        self.prefill_bucket = max(1, prefill_bucket)
         self.max_pages_per_seq = -(-max_seq_len // block_size)
         if num_blocks is None:
             num_blocks = max_batch * self.max_pages_per_seq + 1
@@ -178,23 +187,33 @@ class ContinuousBatchingServer:
             S = int(len(req.prompt_ids))
             # reserve the FULL lifetime (prompt + generation) up front so
             # decode-time growth can never run out of blocks mid-serve
+            # pad the prompt to a bucket boundary: bounded prefill compiles.
+            # The pad tail's K/V is written but (a) causally invisible to
+            # real tokens during prefill and (b) overwritten slot-by-slot by
+            # decode before the context mask ever reaches it.
+            S_pad = -(-max(S, 1) // self.prefill_bucket) * self.prefill_bucket
+            S_pad = min(S_pad, self.max_pages_per_seq * self.block_size)
             total = min(
-                S + req.max_new_tokens,
+                max(S + req.max_new_tokens, S_pad),
                 self.max_pages_per_seq * self.block_size,
             )
             pages = -(-total // self.block_size)
             if pages > self.manager.num_free_blocks:
                 break  # no memory; retry after something finishes
             self.waiting.pop(0)
+            padded = np.zeros(S_pad, np.int32)
+            padded[:S] = req.prompt_ids
             self.manager.allocate(self._mgr_id(slot), total)
             row = self._block_table()[slot : slot + 1]
-            ids = jnp.asarray(req.prompt_ids, jnp.int32)[None, :]
+            ids = jnp.asarray(padded, jnp.int32)[None, :]
             # single-sequence prefill into the SHARED cache arrays (the
             # row's pages are disjoint from every other slot's)
             self.state["context_len"] = jnp.zeros((1,), jnp.int32)
             logits, self.state = prefill(
                 self.params, ids, self.state, row, self.cfg, self.policy,
                 jax.random.fold_in(self._key, 7_000_000 + req.request_id),
+                logit_pos=jnp.asarray([S - 1], jnp.int32),
+                true_len=jnp.asarray([S], jnp.int32),
             )
             next_tok = int(self._pick_tokens(logits, {0: req})[0])
             self.slots[slot] = _SlotState(

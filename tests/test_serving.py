@@ -180,3 +180,42 @@ def test_admission_reserves_generation_pages(tiny, rng):
     outs = server.run()
     assert sorted(o.request_id for o in outs) == [0, 1]
     assert all(len(o.token_ids) == 15 for o in outs)
+
+
+def test_prefill_bucketing_bounds_compilations(tiny, rng):
+    """Randomized prompt lengths must trigger at most
+    ceil(max_seq_len/prefill_bucket) distinct prefill compilations
+    (VERDICT round-1: unbucketed admission compile-storms)."""
+    from qkv_ecc_tpu.models.runtime import prefill
+
+    params, cfg = tiny
+    server = make_server(
+        params, cfg, max_batch=1, max_seq_len=96, prefill_bucket=32,
+        num_blocks=16,
+    )
+    before = prefill._cache_size()
+    lengths = [3, 5, 9, 17, 21, 33, 40, 55, 63, 65]
+    for i, n in enumerate(lengths):
+        server.add_request(
+            Request(i, rng.integers(0, cfg.vocab_size, (n,)), max_new_tokens=2)
+        )
+    server.run()
+    grew = prefill._cache_size() - before
+    # lengths bucket to {32, 64, 96} -> at most 3 fresh compilations
+    assert grew <= 3, grew
+
+
+def test_bucketed_prefill_logits_match_exact(tiny, rng):
+    """A bucket-padded prefill must produce the same next token and the
+    same decoded continuation as exact-length processing (BER=0)."""
+    params, cfg = tiny
+    policy = policy_for_mode("int4-hamming84", ber=0.0, seed=42)
+    p = rng.integers(0, cfg.vocab_size, (11,))
+    exact = generate(
+        params, jnp.asarray(p)[None, :], cfg, policy, max_new_tokens=5,
+        block_size=16,
+    )
+    server = make_server(params, cfg, prefill_bucket=64, max_seq_len=96)
+    server.add_request(Request(0, p, max_new_tokens=5))
+    outs = server.run()
+    assert outs[0].token_ids == list(np.asarray(exact[0, 11:]))
