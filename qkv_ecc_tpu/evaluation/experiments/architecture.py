@@ -93,11 +93,23 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="Architecture comparison experiment")
     p.add_argument("--models", nargs="+", default=["tiny-gpt2", "tiny-llama"])
     p.add_argument("--max-samples", type=int, default=4)
+    p.add_argument("--output", default=None,
+                   help="JSON path; a .txt report is written next to it")
     args = p.parse_args(argv)
     comparison = run_architecture_comparison(
         models=args.models, max_samples=args.max_samples
     )
-    print(format_report(comparison))
+    report = format_report(comparison)
+    print(report)
+    if args.output:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+        with open(args.output, "w") as f:
+            json.dump(comparison, f, indent=2, default=str)
+        with open(os.path.splitext(args.output)[0] + ".txt", "w") as f:
+            f.write(report + "\n")
     return comparison
 
 

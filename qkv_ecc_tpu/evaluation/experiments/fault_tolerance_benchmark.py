@@ -91,6 +91,96 @@ def benchmark_decode_throughput(
     }
 
 
+def peak_memory_stats() -> Dict:
+    """Live/peak device memory accounting (the reference tracked
+    torch.cuda.max_memory_allocated per arm,
+    fault_tolerance_benchmark.py:842-1075).
+
+    On TPU uses device.memory_stats(); everywhere it also reports the sum
+    of live jax array buffers (live-buffer accounting works on CPU too)."""
+    out: Dict = {}
+    dev = jax.local_devices()[0]
+    stats = getattr(dev, "memory_stats", lambda: None)()
+    if stats:
+        out["bytes_in_use"] = int(stats.get("bytes_in_use", 0))
+        out["peak_bytes_in_use"] = int(stats.get("peak_bytes_in_use", 0))
+        out["bytes_limit"] = int(stats.get("bytes_limit", 0))
+    live = 0
+    for a in jax.live_arrays():
+        try:
+            live += int(np.prod(a.shape)) * a.dtype.itemsize
+        except Exception:
+            pass
+    out["live_array_bytes"] = live
+    return out
+
+
+def benchmark_grid(
+    params, cfg, arms: List[str], batches=(1, 4, 8), contexts=(256, 1024),
+    decode_tokens: int = 32, progress=print,
+) -> List[Dict]:
+    """tokens/s, ms/token, cache and peak memory over a batch x context
+    grid per arm (the reference's report tables,
+    fault_tolerance_benchmark.py:842-1075)."""
+    out = []
+    for arm in arms:
+        for batch in batches:
+            for ctx in contexts:
+                policy = policy_for_mode(arm, ber=0.0, seed=42)
+                r = benchmark_decode_throughput(
+                    params, cfg, policy, batch, ctx, decode_tokens
+                )
+                r.update({"arm": arm, "context_len": ctx})
+                r["memory"] = peak_memory_stats()
+                out.append(r)
+                peak = r["memory"].get(
+                    "peak_bytes_in_use", r["memory"]["live_array_bytes"]
+                )
+                progress(
+                    f"  {arm:<18} b={batch:<3} ctx={ctx:<6} "
+                    f"{r['decode_tokens_per_sec']:8.1f} tok/s "
+                    f"{r['ms_per_token']:6.2f} ms/tok "
+                    f"cache {r['cache_gb']*1e3:7.1f} MB peak {peak/1e9:.2f} GB"
+                )
+    return out
+
+
+def format_grid_tables(grid: List[Dict]) -> str:
+    """batch x context tables per arm: throughput, latency, memory."""
+    arms = sorted({r["arm"] for r in grid})
+    batches = sorted({r["batch"] for r in grid})
+    contexts = sorted({r["context_len"] for r in grid})
+
+    def cell(arm, b, c, key, fmt):
+        for r in grid:
+            if r["arm"] == arm and r["batch"] == b and r["context_len"] == c:
+                return fmt.format(r[key])
+        return "-"
+
+    lines = []
+    for title, key, fmt in (
+        ("THROUGHPUT (tokens/s)", "decode_tokens_per_sec", "{:10.1f}"),
+        ("LATENCY (ms/token)", "ms_per_token", "{:10.2f}"),
+        ("KV CACHE (MB)", "cache_gb", None),
+    ):
+        lines += [title, "-" * 72]
+        header = f"{'arm':<20}{'batch':>6}" + "".join(
+            f"{'ctx=' + str(c):>12}" for c in contexts
+        )
+        lines.append(header)
+        for arm in arms:
+            for b in batches:
+                row = f"{arm:<20}{b:>6}"
+                for c in contexts:
+                    if key == "cache_gb":
+                        row += f"{float(cell(arm, b, c, key, '{}') or 0)*1e3:>12.1f}"
+                    else:
+                        row += f"{cell(arm, b, c, key, fmt):>12}"
+                lines.append(row)
+        lines.append("")
+    return "\n".join(lines)
+
+
 def benchmark_ppl_vs_ber(
     params, cfg, tokenizer, texts, arms: List[str], ber_levels: List[float],
     seeds: List[int], max_length: int = 128,
@@ -183,22 +273,44 @@ def format_report(results: Dict) -> str:
 
 def main(argv=None):
     import argparse
+    import os
 
     p = argparse.ArgumentParser(description="System fault-tolerance benchmark")
     p.add_argument("--model", default="tiny-llama")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--decode-tokens", type=int, default=32)
-    p.add_argument("--output", default=None)
+    p.add_argument(
+        "--grid", action="store_true",
+        help="also run the batch x context throughput/latency/memory grid",
+    )
+    p.add_argument("--grid-batches", type=int, nargs="+", default=[1, 4, 8])
+    p.add_argument("--grid-contexts", type=int, nargs="+", default=[256, 1024])
+    p.add_argument("--output", default=None,
+                   help="JSON path; a .txt report is written next to it")
     args = p.parse_args(argv)
     results = run_ber_sweep_comparison(
         FaultToleranceConfig(
             model=args.model, batch=args.batch, decode_tokens=args.decode_tokens
         )
     )
-    print(format_report(results))
+    report = format_report(results)
+    if args.grid:
+        params, cfg, _ = load_model(args.model)
+        grid = benchmark_grid(
+            params, cfg, FaultToleranceConfig().arms,
+            batches=tuple(args.grid_batches),
+            contexts=tuple(args.grid_contexts),
+            decode_tokens=args.decode_tokens,
+        )
+        results["grid"] = grid
+        report += "\n\n" + format_grid_tables(grid)
+    print(report)
     if args.output:
+        os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
         with open(args.output, "w") as f:
             json.dump(results, f, indent=2, default=str)
+        with open(os.path.splitext(args.output)[0] + ".txt", "w") as f:
+            f.write(report + "\n")
     return results
 
 

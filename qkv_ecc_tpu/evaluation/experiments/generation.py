@@ -107,11 +107,23 @@ def main(argv=None):
     p.add_argument("--model", default="tiny-gpt2")
     p.add_argument("--ber", type=float, default=0.05)
     p.add_argument("--max-new-tokens", type=int, default=32)
+    p.add_argument("--output", default=None,
+                   help="JSON path; a .txt report is written next to it")
     args = p.parse_args(argv)
     results = run_generation_demo(
         args.model, ber=args.ber, max_new_tokens=args.max_new_tokens
     )
-    print(format_report(results))
+    report = format_report(results)
+    print(report)
+    if args.output:
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+        with open(os.path.splitext(args.output)[0] + ".txt", "w") as f:
+            f.write(report + "\n")
     return results
 
 
