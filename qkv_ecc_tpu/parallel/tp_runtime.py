@@ -213,7 +213,8 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
     }
     state_specs = {**local_cache_specs, "context_len": P("data")}
 
-    def _prefill_shard(params, ids, state, block_table, key):
+    def _prefill_shard(params, ids, state, block_table, key, logit_pos,
+                       true_len):
         B, S = ids.shape
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
         x = params["embed"][ids].astype(jnp.dtype(cfg.dtype))
@@ -224,8 +225,9 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
                 write=True, fused_attend=False, block_size=block_size,
                 step_key=key,
             )
-        logits = _lm_head_tp(params, x[:, -1:, :], cfgl)[:, 0]
-        state["context_len"] = jnp.full((B,), S, jnp.int32)
+        x_last = jnp.take_along_axis(x, logit_pos[:, None, None], axis=1)
+        logits = _lm_head_tp(params, x_last, cfgl)[:, 0]
+        state["context_len"] = true_len.astype(jnp.int32)
         return logits, state
 
     def _decode_shard(params, tokens, state, block_table, key):
@@ -244,17 +246,18 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         state["context_len"] = pos + 1
         return logits, state
 
-    def _wrap(fn):
+    def _wrap(fn, n_extra_data_args=0):
+        extra = tuple(P("data") for _ in range(n_extra_data_args))
         shard_fn = jax.shard_map(
             fn,
             mesh=mesh,
-            in_specs=(pspecs, data_spec, state_specs, P("data"), P()),
+            in_specs=(pspecs, data_spec, state_specs, P("data"), P()) + extra,
             out_specs=(P("data"), state_specs),
             check_vma=False,
         )
         return jax.jit(shard_fn, donate_argnums=(2,))
 
-    return init_state, _wrap(_prefill_shard), _wrap(_decode_shard)
+    return init_state, _wrap(_prefill_shard, 2), _wrap(_decode_shard)
 
 
 def generate_tp(
@@ -273,7 +276,10 @@ def generate_tp(
     state, block_table = init_state(B, S + max_new_tokens)
     key = jax.random.key(policy.seed)
     ids_sharded = jax.device_put(input_ids, NamedSharding(mesh, P("data")))
-    logits, state = prefill_fn(params, ids_sharded, state, block_table, key)
+    logits, state = prefill_fn(
+        params, ids_sharded, state, block_table, key,
+        jnp.full((B,), S - 1, jnp.int32), jnp.full((B,), S, jnp.int32),
+    )
     tokens = [input_ids]
     for step in range(max_new_tokens):
         next_tok = jnp.argmax(logits, axis=-1)

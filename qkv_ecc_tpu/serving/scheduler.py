@@ -136,6 +136,24 @@ class ContinuousBatchingServer:
 
         self._sample = _sample
 
+    # -- step-function hooks (overridden by the TP server) ----------------
+
+    def _run_prefill(self, ids, row, key, logit_pos, true_len):
+        self.state["context_len"] = jnp.zeros((ids.shape[0],), jnp.int32)
+        logits, self.state = prefill(
+            self.params, ids, self.state, row, self.cfg, self.policy, key,
+            logit_pos=logit_pos, true_len=true_len,
+        )
+        return logits
+
+    def _run_decode(self, tokens, block_table, key):
+        self.state["context_len"] = jnp.asarray(self._context_lens())
+        logits, self.state = decode_step(
+            self.params, tokens, self.state, block_table, self.cfg,
+            self.policy, key, block_size=self.block_size,
+        )
+        return logits
+
     # -- host-side bookkeeping -------------------------------------------
 
     def _mgr_id(self, slot: int) -> int:
@@ -208,12 +226,11 @@ class ContinuousBatchingServer:
             ids = jnp.asarray(padded, jnp.int32)[None, :]
             # single-sequence prefill into the SHARED cache arrays (the
             # row's pages are disjoint from every other slot's)
-            self.state["context_len"] = jnp.zeros((1,), jnp.int32)
-            logits, self.state = prefill(
-                self.params, ids, self.state, row, self.cfg, self.policy,
+            logits = self._run_prefill(
+                ids, row,
                 jax.random.fold_in(self._key, 7_000_000 + req.request_id),
-                logit_pos=jnp.asarray([S - 1], jnp.int32),
-                true_len=jnp.asarray([S], jnp.int32),
+                jnp.asarray([S - 1], jnp.int32),
+                jnp.asarray([S], jnp.int32),
             )
             next_tok = int(self._pick_tokens(logits, {0: req})[0])
             self.slots[slot] = _SlotState(
@@ -263,16 +280,10 @@ class ContinuousBatchingServer:
             for s, st in enumerate(self.slots):
                 if st is not None:
                     tokens[s] = st.next_token
-            self.state["context_len"] = jnp.asarray(self._context_lens())
-            logits, self.state = decode_step(
-                self.params,
+            logits = self._run_decode(
                 jnp.asarray(tokens),
-                self.state,
                 self._block_table(),
-                self.cfg,
-                self.policy,
                 jax.random.fold_in(self._key, self._step_counter),
-                block_size=self.block_size,
             )
             self._step_counter += 1
             next_tokens = self._pick_tokens(

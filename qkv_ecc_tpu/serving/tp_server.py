@@ -1,0 +1,89 @@
+"""Tensor-parallel continuous-batching server.
+
+Drives the shard_map'ed TP step functions (parallel/tp_runtime.py) with the
+single-chip server's slot/page bookkeeping: the paged ECC cache is sharded
+on its kv-head axis over the "model" mesh axis, batch slots over "data".
+Per decode step exactly two psums per layer ride the ICI; the fused
+dequant+ECC-decode attention kernel runs purely locally on each shard.
+
+New infrastructure with no reference counterpart (the reference is strictly
+single-GPU, SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..models.kv_policy import KVCachePolicy
+from ..parallel.sharding import cache_specs, shard_params
+from ..parallel.tp_runtime import make_tp_functions
+from .scheduler import ContinuousBatchingServer
+
+
+class TPContinuousBatchingServer(ContinuousBatchingServer):
+    """Continuous batching over a (data, model) mesh.
+
+    Requirements: llama-family model; num_heads/num_kv_heads divisible by
+    the model-axis size; max_batch divisible by the data-axis size.
+    Admission prefills `data` sequences' rows at a time (waiting slots are
+    padded with trash-page rows), so the prefill batch shape is static.
+    """
+
+    def __init__(self, params, cfg: ModelConfig, policy: KVCachePolicy,
+                 mesh: Mesh, **kw):
+        self.mesh = mesh
+        self.dp = mesh.shape["data"]
+        self.tp = mesh.shape["model"]
+        self._tp_params = shard_params(params, cfg, mesh)
+        super().__init__(params, cfg, policy, **kw)
+        assert self.max_batch % self.dp == 0, (
+            f"max_batch {self.max_batch} must be divisible by the data-axis "
+            f"size {self.dp}"
+        )
+        self._init, self._tp_prefill, self._tp_decode = make_tp_functions(
+            cfg, policy, mesh, block_size=self.block_size
+        )
+        # shard the cache state onto the mesh (kv-heads over "model")
+        specs = cache_specs()
+        self.state = {
+            k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+            for k, v in self.state.items()
+        }
+
+    def _run_prefill(self, ids, row, key, logit_pos, true_len):
+        # pad the single admitted sequence to a full data-axis batch; the
+        # padding rows write into the trash page (physical block 0) and
+        # their logits are discarded
+        B = ids.shape[0]
+        ids_p = jnp.concatenate(
+            [ids] + [jnp.zeros_like(ids)] * (self.dp - B), axis=0
+        )
+        rows_p = jnp.concatenate(
+            [jnp.maximum(row, 0)]
+            + [jnp.zeros_like(row)] * (self.dp - B),
+            axis=0,
+        )
+        lp = jnp.concatenate(
+            [logit_pos, jnp.zeros((self.dp - B,), jnp.int32)]
+        )
+        tl = jnp.concatenate(
+            [true_len, jnp.zeros((self.dp - B,), jnp.int32)]
+        )
+        self.state["context_len"] = jnp.zeros((self.dp,), jnp.int32)
+        logits, self.state = self._tp_prefill(
+            self._tp_params, ids_p, self.state, rows_p, key, lp, tl
+        )
+        return logits[:B]
+
+    def _run_decode(self, tokens, block_table, key):
+        self.state["context_len"] = jnp.asarray(self._context_lens())
+        # TP decode uses the fused write+attend kernel, which clamps -1
+        # block-table entries to the trash page itself
+        logits, self.state = self._tp_decode(
+            self._tp_params, tokens, self.state, block_table, key
+        )
+        return logits

@@ -80,7 +80,10 @@ class TestTPParity:
         init_state, prefill_fn, decode_fn = make_tp_functions(CFG_TP, pol, mesh)
         state, bt = init_state(2, 32)
         ids = jnp.asarray(rng.integers(0, 256, (2, 8)))
-        logits, state = prefill_fn(params, ids, state, bt, jax.random.key(0))
+        logits, state = prefill_fn(
+            params, ids, state, bt, jax.random.key(0),
+            jnp.full((2,), 7, jnp.int32), jnp.full((2,), 8, jnp.int32),
+        )
         assert int(state["context_len"][0]) == 8
         logits, state = decode_fn(
             params, jnp.argmax(logits, -1), state, bt, jax.random.key(1)
