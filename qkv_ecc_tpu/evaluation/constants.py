@@ -157,6 +157,19 @@ MODELS = {
         "requires_auth": False,
         "chip": "v5e",
     },
+    # word-level (8k vocab) in-container-trained model: enough PPL dynamic
+    # range to show the catastrophic unprotected-INT4 blow-up
+    "trained-word": {
+        "hf_id": None,
+        "config": "trained-word",
+        "type": "gpt2",
+        "layers": 8,
+        "hidden_size": 384,
+        "num_attention_heads": 6,
+        "num_kv_heads": 6,
+        "requires_auth": False,
+        "chip": "v5e",
+    },
 }
 
 DEFAULT_MODEL = "gpt2"

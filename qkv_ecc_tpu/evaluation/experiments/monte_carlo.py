@@ -66,14 +66,16 @@ def run_monte_carlo_experiment(config: MonteCarloConfig, progress=print):
     )
     progress(f"Loading evaluation texts (max {config.max_samples})...")
     texts = None
-    if config.model == "trained-tiny":
+    if config.model in ("trained-tiny", "trained-word"):
         # evaluate on the held-out split saved next to the checkpoint
         # (data the model never trained on; train_tiny.py writes it)
         import json
 
-        ckpt = os.environ.get(
-            "QKV_TINY_CHECKPOINT", "results/trained_tiny/checkpoint.npz"
-        )
+        default = {
+            "trained-tiny": "results/trained_tiny/checkpoint.npz",
+            "trained-word": "results/trained_word/checkpoint.npz",
+        }[config.model]
+        ckpt = os.environ.get("QKV_TINY_CHECKPOINT", default)
         tp = ckpt + ".eval_texts.json"
         if os.path.exists(tp):
             with open(tp) as fh:

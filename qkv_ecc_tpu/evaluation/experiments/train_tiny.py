@@ -25,6 +25,12 @@ import time
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--model", default="trained-tiny",
+        choices=["trained-tiny", "trained-word"],
+        help="trained-tiny: byte-level; trained-word: 8k word vocab "
+        "(enough PPL dynamic range for the catastrophic-INT4 demo)",
+    )
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seq-len", type=int, default=256)
@@ -32,15 +38,17 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-corpus-mb", type=int, default=32)
     p.add_argument(
-        "--output", default="results/trained_tiny/checkpoint.npz",
-        help="checkpoint path (.npz)",
+        "--output", default=None,
+        help="checkpoint path (.npz); default results/<model>/checkpoint.npz",
     )
     args = p.parse_args(argv)
+    if args.output is None:
+        args.output = f"results/{args.model.replace('-', '_')}/checkpoint.npz"
 
     from ...models.config import get_model_config
     from ...training import TrainConfig, build_corpus, save_params, train_tiny
 
-    cfg = get_model_config("trained-tiny")
+    cfg = get_model_config(args.model)
     t0 = time.time()
     corpus, eval_texts = build_corpus(max_bytes=args.max_corpus_mb << 20)
     print(
@@ -48,6 +56,18 @@ def main(argv=None):
         f"eval texts ({time.time()-t0:.1f}s)",
         file=sys.stderr,
     )
+    if args.model == "trained-word":
+        from ...training.corpus import WordTokenizer
+        import numpy as np
+
+        text = corpus.decode("utf-8", errors="replace")
+        tok = WordTokenizer.train(text, vocab_size=cfg.vocab_size)
+        corpus = np.asarray(tok.encode(text), np.int32)
+        print(
+            f"word tokenizer: vocab {tok.vocab_size}, corpus "
+            f"{len(corpus)/1e6:.1f}M tokens ({time.time()-t0:.1f}s)",
+            file=sys.stderr,
+        )
 
     tcfg = TrainConfig(
         steps=args.steps, batch=args.batch, seq_len=args.seq_len,
@@ -63,6 +83,8 @@ def main(argv=None):
 
     params, final_loss = train_tiny(cfg, corpus, tcfg, progress)
     save_params(params, args.output, cfg)
+    if args.model == "trained-word":
+        tok.save(args.output + ".vocab.json")
 
     # persist the held-out eval texts next to the checkpoint so the sweep
     # evaluates on data the model never trained on

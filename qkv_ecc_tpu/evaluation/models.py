@@ -35,21 +35,32 @@ def load_model(
     meta = MODELS[model_name]
     cfg = get_model_config(meta["config"])
 
-    if model_name == "trained-tiny":
+    if model_name in ("trained-tiny", "trained-word"):
         # in-container trained checkpoint (qkv_ecc_tpu/training/)
         from ..training.trainer import load_params
 
-        path = os.environ.get(
-            "QKV_TINY_CHECKPOINT", "results/trained_tiny/checkpoint.npz"
-        )
+        default = {
+            "trained-tiny": "results/trained_tiny/checkpoint.npz",
+            "trained-word": "results/trained_word/checkpoint.npz",
+        }[model_name]
+        path = os.environ.get("QKV_TINY_CHECKPOINT", default)
+
+        def tok_for():
+            vocab_path = path + ".vocab.json"
+            if model_name == "trained-word" and os.path.exists(vocab_path):
+                from ..training.corpus import WordTokenizer
+
+                return WordTokenizer.load(vocab_path)
+            return ByteTokenizer()
+
         if os.path.exists(path):
-            return load_params(path, cfg), cfg, ByteTokenizer()
+            return load_params(path, cfg), cfg, tok_for()
         if not allow_random_init:
             raise RuntimeError(
-                f"trained-tiny checkpoint not found at {path}; run "
+                f"{model_name} checkpoint not found at {path}; run "
                 "python -m qkv_ecc_tpu.evaluation.experiments.train_tiny"
             )
-        return init_params(cfg, seed), cfg, ByteTokenizer()
+        return init_params(cfg, seed), cfg, tok_for()
 
     hf_id = meta["hf_id"]
     if hf_id is not None:

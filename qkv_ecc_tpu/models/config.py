@@ -130,10 +130,26 @@ TRAINED_TINY = ModelConfig(
     max_position_embeddings=512,
 )
 
+# Word-level trainable model (8k vocab): big enough dynamic range for the
+# catastrophic unprotected-INT4 demonstration (byte models cap PPL at 256)
+TRAINED_WORD = ModelConfig(
+    name="trained-word",
+    arch="gpt2",
+    vocab_size=8192,
+    hidden_size=384,
+    num_layers=8,
+    num_heads=6,
+    num_kv_heads=6,
+    head_dim=64,
+    intermediate_size=1536,
+    max_position_embeddings=512,
+)
+
 MODEL_CONFIGS = {
     c.name: c
     for c in (
-        GPT2_124M, MISTRAL_7B, LLAMA31_8B, TINY_GPT2, TINY_LLAMA, TRAINED_TINY
+        GPT2_124M, MISTRAL_7B, LLAMA31_8B, TINY_GPT2, TINY_LLAMA,
+        TRAINED_TINY, TRAINED_WORD,
     )
 }
 

@@ -46,11 +46,16 @@ def train_tiny(
     tcfg: TrainConfig = TrainConfig(),
     progress: Optional[Callable[[int, float, float], None]] = None,
 ):
-    """Train cfg on the byte corpus; returns (params, final_loss_nats)."""
+    """Train cfg on a corpus (raw bytes -> byte-level LM, or a pre-
+    tokenized int array); returns (params, final_loss_nats)."""
     import optax
 
-    assert cfg.vocab_size >= 256, "byte-level training needs vocab >= 256"
-    data = np.frombuffer(corpus, dtype=np.uint8)
+    if isinstance(corpus, (bytes, bytearray)):
+        assert cfg.vocab_size >= 256, "byte-level training needs vocab >= 256"
+        data = np.frombuffer(corpus, dtype=np.uint8)
+    else:
+        data = np.asarray(corpus)
+        assert data.max() < cfg.vocab_size
     params = init_params(cfg, tcfg.seed)
     policy = KVCachePolicy(codec="fp16")
 
