@@ -200,14 +200,24 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "policy", "block_size"), donate_argnums=(2,)
+    jax.jit,
+    static_argnames=("cfg", "policy", "block_size", "collect_ecc_stats"),
+    donate_argnums=(2,),
 )
 def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
-                policy: KVCachePolicy, step_key, block_size: int = 128):
+                policy: KVCachePolicy, step_key, block_size: int = 128,
+                collect_ecc_stats: bool = False):
     """One incremental decode step: token_ids [B] -> logits [B, V].
 
     Writes the new token's K/V through the codec into the paged cache, then
     attends with the fused Pallas kernel (inline ECC decode).
+
+    collect_ecc_stats=True accumulates the kernel's per-sequence
+    corrected/detected counts (reference get_ecc_stats accounting,
+    ecc_shim.py:1627) into state["ecc_corrected"]/state["ecc_detected"]
+    ([B] int32; for the int4 read-inject arm slot 0 counts flipped read
+    bits instead). Costs extra decode work for golay (the stats pass
+    re-runs the counting decoder), so it is off in the perf benchmark.
     """
     B = token_ids.shape[0]
     pos = state["context_len"]  # [B]
@@ -235,15 +245,9 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
         # fused write+attend: the new token's codeword column is inserted
         # into its page inside the kernel and the caches are updated
         # in-place (input/output aliasing) - XLA never copies them.
-        (
-            attn,
-            state["k_cache"],
-            state["v_cache"],
-            state["k_scales"],
-            state["v_scales"],
-        ) = paged_attention_ecc_write_attend(
+        outs = paged_attention_ecc_write_attend(
             q[:, 0],  # [B, Hq, D]
-            kc[:, 0],  # [B, Hkv, CW]
+            kc[:, 0],  # [B, Hkv, W]
             vc[:, 0],
             ks[:, 0],  # [B, Hkv]
             vs[:, 0],
@@ -260,7 +264,25 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
             read_inject_ber=ri_ber,
             read_inject_seed=ri_seed,
             sliding_window=cfg.sliding_window,
+            collect_stats=collect_ecc_stats,
         )
+        (
+            attn,
+            state["k_cache"],
+            state["v_cache"],
+            state["k_scales"],
+            state["v_scales"],
+        ) = outs[:5]
+        if collect_ecc_stats:
+            kstats = outs[5]  # [B, 2] int32
+            state["ecc_corrected"] = (
+                state.get("ecc_corrected", jnp.zeros((B,), jnp.int32))
+                + kstats[:, 0]
+            )
+            state["ecc_detected"] = (
+                state.get("ecc_detected", jnp.zeros((B,), jnp.int32))
+                + kstats[:, 1]
+            )
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
     logits = _lm_head(params, x, cfg)[:, 0]
     state["context_len"] = pos + 1
@@ -276,11 +298,14 @@ def generate(
     block_size: int = 128,
     temperature: float = 0.0,
     seed: int = 0,
+    return_ecc_stats: bool = False,
 ):
     """Greedy (temperature=0) or sampled generation.
 
-    input_ids: [B, S] numpy/jnp int array. Returns [B, S + max_new_tokens].
-    Requires policy.codec in FUSED_CODECS for the decode path.
+    input_ids: [B, S] numpy/jnp int array. Returns [B, S + max_new_tokens],
+    or (tokens, {"errors_corrected": [B], "errors_detected": [B]}) with
+    return_ecc_stats (decode-phase counts from the fused kernel; the
+    reference's get_ecc_stats, ecc_shim.py:1627).
     """
     if policy.codec not in FUSED_CODECS:
         raise NotImplementedError(
@@ -317,5 +342,13 @@ def generate(
             policy,
             jax.random.fold_in(key, S + step),
             block_size=block_size,
+            collect_ecc_stats=return_ecc_stats,
         )
-    return jnp.concatenate(tokens, axis=1)
+    out = jnp.concatenate(tokens, axis=1)
+    if return_ecc_stats:
+        zeros = jnp.zeros((B,), jnp.int32)
+        return out, {
+            "errors_corrected": state.get("ecc_corrected", zeros),
+            "errors_detected": state.get("ecc_detected", zeros),
+        }
+    return out

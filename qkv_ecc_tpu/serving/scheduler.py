@@ -81,6 +81,7 @@ class ContinuousBatchingServer:
         num_blocks: Optional[int] = None,
         block_size: int = 128,
         prefill_bucket: int = 128,
+        collect_ecc_stats: bool = True,
     ):
         if policy.codec not in FUSED_CODECS:
             raise NotImplementedError(
@@ -92,6 +93,12 @@ class ContinuousBatchingServer:
         self.policy = policy
         self.max_batch = max_batch
         self.block_size = block_size
+        # per-attend correction/detection observability (the reference's
+        # get_ecc_stats always counted, ecc_shim.py:1627); costs extra
+        # decode work for golay - disable for pure-throughput serving
+        self.collect_ecc_stats = collect_ecc_stats
+        self._ecc_corrected = 0
+        self._ecc_detected = 0
         # prompts are padded up to a multiple of this before prefill, so at
         # most max_seq_len/prefill_bucket distinct prefill shapes ever
         # compile (unbucketed admission compile-storms under real traffic -
@@ -148,11 +155,30 @@ class ContinuousBatchingServer:
 
     def _run_decode(self, tokens, block_table, key):
         self.state["context_len"] = jnp.asarray(self._context_lens())
+        self.state.pop("ecc_corrected", None)
+        self.state.pop("ecc_detected", None)
         logits, self.state = decode_step(
             self.params, tokens, self.state, block_table, self.cfg,
             self.policy, key, block_size=self.block_size,
+            collect_ecc_stats=self.collect_ecc_stats,
         )
+        if self.collect_ecc_stats:
+            self._ecc_corrected += int(
+                jnp.sum(self.state.get("ecc_corrected", 0))
+            )
+            self._ecc_detected += int(
+                jnp.sum(self.state.get("ecc_detected", 0))
+            )
         return logits
+
+    @property
+    def ecc_stats(self) -> dict:
+        """Cumulative decode-phase ECC counters across all served steps
+        (reference get_ecc_stats, ecc_shim.py:1627-1642)."""
+        return {
+            "errors_corrected": self._ecc_corrected,
+            "errors_detected": self._ecc_detected,
+        }
 
     # -- host-side bookkeeping -------------------------------------------
 

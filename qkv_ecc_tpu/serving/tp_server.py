@@ -39,6 +39,9 @@ class TPContinuousBatchingServer(ContinuousBatchingServer):
         self.dp = mesh.shape["data"]
         self.tp = mesh.shape["model"]
         self._tp_params = shard_params(params, cfg, mesh)
+        # per-step ECC counters are not yet plumbed through the TP step
+        # functions; the single-chip server provides them
+        kw.setdefault("collect_ecc_stats", False)
         super().__init__(params, cfg, policy, **kw)
         assert self.max_batch % self.dp == 0, (
             f"max_batch {self.max_batch} must be divisible by the data-axis "
