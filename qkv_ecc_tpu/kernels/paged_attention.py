@@ -205,6 +205,7 @@ def _paged_attn_kernel(
     collect_stats: bool,
     read_inject_threshold: int | None,
     sliding_window: int | None,
+    return_softmax_state: bool = False,
 ):
     refs = list(refs)
     if fused_write:
@@ -217,6 +218,9 @@ def _paged_attn_kernel(
         q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm = refs[:5]
         del refs[:5]
         out_ref = refs.pop(0)
+    if return_softmax_state:
+        m_out_ref = refs.pop(0)
+        l_out_ref = refs.pop(0)
     stats_ref = refs.pop(0) if collect_stats else None
     if fused_write:
         k_buf, v_buf, ks_buf, vs_buf, sem, wsem = refs[:6]
@@ -542,10 +546,18 @@ def _paged_attn_kernel(
 
     @pl.when(c == num_chunks - 1)
     def _finalize():
-        l_fin = l_scr[:, :1]
-        safe_l = jnp.where(l_fin > 0, l_fin, 1.0)
-        out = jnp.where(l_fin > 0, acc_scr[:] / safe_l, 0.0)
-        out_ref[:] = out.reshape(out_ref.shape).astype(out_ref.dtype)
+        if return_softmax_state:
+            # context-parallel decode: emit the UNNORMALIZED online-softmax
+            # state; the caller merges shards via a log-sum-exp-weighted
+            # psum (parallel/context_parallel.py)
+            out_ref[:] = acc_scr[:].reshape(out_ref.shape).astype(out_ref.dtype)
+            m_out_ref[:] = m_scr[:].reshape(m_out_ref.shape)
+            l_out_ref[:] = l_scr[:].reshape(l_out_ref.shape)
+        else:
+            l_fin = l_scr[:, :1]
+            safe_l = jnp.where(l_fin > 0, l_fin, 1.0)
+            out = jnp.where(l_fin > 0, acc_scr[:] / safe_l, 0.0)
+            out_ref[:] = out.reshape(out_ref.shape).astype(out_ref.dtype)
 
 
 def _read_threshold(read_inject_ber: float, codec: str):
@@ -588,7 +600,8 @@ def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
-                     "collect_stats", "read_inject_ber", "sliding_window"),
+                     "collect_stats", "read_inject_ber", "sliding_window",
+                     "return_softmax_state"),
 )
 def paged_attention_ecc(
     query,
@@ -611,6 +624,7 @@ def paged_attention_ecc(
     read_inject_ber: float = 0.0,
     read_inject_seed=0,
     sliding_window: int | None = None,
+    return_softmax_state: bool = False,
 ):
     """Decode-phase fused paged attention with inline ECC decode.
 
@@ -653,11 +667,24 @@ def paged_attention_ecc(
     def stats_map(b, c, layer, bt, cl):
         return (b, 0)
 
+    def ml_map(b, c, layer, bt, cl):
+        return (b, 0, 0)
+
+    out_dtype = jnp.float32 if return_softmax_state else query.dtype
     out_specs = [
         pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
                      memory_space=pltpu.VMEM),
     ]
-    out_shape = [jax.ShapeDtypeStruct(q4.shape, query.dtype)]
+    out_shape = [jax.ShapeDtypeStruct(q4.shape, out_dtype)]
+    if return_softmax_state:
+        for _ in range(2):  # running max m and normalizer l, [b, Hq, 128]
+            out_specs.append(
+                pl.BlockSpec((None, num_q_heads, 128), ml_map,
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((batch, num_q_heads, 128), jnp.float32)
+            )
     if collect_stats:
         out_specs.append(
             pl.BlockSpec((None, 2), stats_map, memory_space=pltpu.SMEM)
@@ -711,6 +738,7 @@ def paged_attention_ecc(
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
         sliding_window=sliding_window,
+        return_softmax_state=return_softmax_state,
     )
 
     outs = pl.pallas_call(
@@ -730,8 +758,13 @@ def paged_attention_ecc(
         v_scales,
     )
     out = outs[0].reshape(batch, num_q_heads, head_dim)
+    rest = list(outs[1:])
+    if return_softmax_state:
+        m = rest.pop(0)[..., 0]  # [b, Hq]
+        l = rest.pop(0)[..., 0]
+        out = (out, m, l)
     if collect_stats:
-        return out, outs[1]
+        return out, rest.pop(0)
     return out
 
 
