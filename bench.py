@@ -95,19 +95,35 @@ def main():
             dt = time.perf_counter() - t0 - 0.025  # one host fetch RTT
             best_dt = min(best_dt, dt)
         tps = batch * decode_tokens / best_dt
+        # HBM-bandwidth accounting: weights stream once per step; the
+        # fused kernel reads the full packed KV context (K+V+scales)
+        from qkv_ecc_tpu.evaluation.models import estimate_param_count
+        from qkv_ecc_tpu.kernels.swar import row_words
+
+        n_params = estimate_param_count(cfg)
+        w = row_words(policy.codec, cfg.head_dim)
+        itemsize = 4 if policy.codec not in ("fp16", "fp8") else (
+            2 if policy.codec == "fp16" else 1)
+        kv_bytes = (
+            cfg.num_layers * batch * prompt_len * cfg.num_kv_heads
+            * (2 * w * itemsize + 2 * 4)  # K+V words + fp32 scales
+        )
+        step_bytes = n_params * 2 + kv_bytes
+        gbps = step_bytes / (best_dt / decode_tokens) / 1e9
+        ms = best_dt / decode_tokens * 1e3
         print(
-            f"  {mode}: {tps:.1f} tok/s "
-            f"({best_dt / decode_tokens * 1e3:.2f} ms/step)",
+            f"  {mode}: {tps:.1f} tok/s ({ms:.2f} ms/step, "
+            f"~{gbps:.0f} GB/s streamed = {gbps/819*100:.0f}% of v5e peak)",
             file=sys.stderr,
         )
-        return tps
+        return tps, gbps
 
-    golay_tps = measure("int12-golay")
-    h84_tps = measure("int4-hamming84")
+    golay_tps, golay_bw = measure("int12-golay")
+    h84_tps, h84_bw = measure("int4-hamming84")
     # write-inject baseline: same persistent-corruption fault model as the
     # protected arms (mode "int4" is the reference's READ-inject arm, which
     # pays a per-step PRNG cost that is not part of a fair perf baseline)
-    int4_tps = measure("int4-write-inject")
+    int4_tps, int4_bw = measure("int4-write-inject")
 
     print(
         json.dumps(
@@ -119,6 +135,9 @@ def main():
                 "hamming84_tokens_per_sec": round(h84_tps, 2),
                 "hamming84_vs_unprotected": round(h84_tps / int4_tps, 4),
                 "unprotected_int4_tokens_per_sec": round(int4_tps, 2),
+                "unprotected_hbm_gbps": round(int4_bw, 1),
+                "hamming84_hbm_gbps": round(h84_bw, 1),
+                "v5e_peak_hbm_gbps": 819,
             }
         )
     )

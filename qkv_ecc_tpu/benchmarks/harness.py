@@ -243,6 +243,42 @@ def run_attention_benchmark_suite(
     return out
 
 
+def benchmark_cpu_vs_tpu_hamming84(n: int = 4 * 1024 * 1024) -> Dict:
+    """Hamming(8,4) decode on the host CPU (jnp reference decoders) vs the
+    accelerator (Pallas kernels) - the reference's CPU-vs-GPU comparison
+    (benchmark_harness.py:592)."""
+    rng = np.random.default_rng(0)
+    cw_host = rng.integers(0, 256, n, dtype=np.uint8)
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    out: Dict = {"n_values": n}
+
+    accel = jax.devices()[0]
+    cw_acc = jax.device_put(jnp.asarray(cw_host), accel)
+    dt_acc = time_fn_chained(ck.hamming84_decode_tpu, cw_acc, iters=10)
+    out["accel_platform"] = accel.platform
+    out["accel_ms"] = dt_acc * 1e3
+    out["accel_mvalues_per_sec"] = n / dt_acc / 1e6
+
+    if cpu is not None and cpu.platform != accel.platform:
+        cw_cpu = jax.device_put(jnp.asarray(cw_host), cpu)
+
+        @jax.jit
+        def cpu_decode(x):
+            data, et, c, d = hamming84_decode(x)
+            return data
+
+        with jax.default_device(cpu):
+            dt_cpu = time_fn(cpu_decode, cw_cpu, iters=5)
+        out["cpu_ms"] = dt_cpu * 1e3
+        out["cpu_mvalues_per_sec"] = n / dt_cpu / 1e6
+        out["speedup"] = dt_cpu / dt_acc
+    return out
+
+
 def run_full_benchmark(n: int = 8 * 1024 * 1024, attention: bool = True) -> Dict:
     """Full suite (reference benchmark_harness.py:654)."""
     results: Dict[str, object] = {"kernels": [], "attention": []}
@@ -254,6 +290,7 @@ def run_full_benchmark(n: int = 8 * 1024 * 1024, attention: bool = True) -> Dict
         benchmark_encode_inject_decode(n),
     ):
         results["kernels"].extend(r.to_dict() for r in bench)
+    results["cpu_vs_accelerator"] = benchmark_cpu_vs_tpu_hamming84(n // 2)
     if attention:
         results["attention"] = run_attention_benchmark_suite()
     return results
