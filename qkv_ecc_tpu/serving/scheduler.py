@@ -162,12 +162,15 @@ class ContinuousBatchingServer:
             self.policy, key, block_size=self.block_size,
             collect_ecc_stats=self.collect_ecc_stats,
         )
+        # POP (not get): leaving the counter keys in the state dict changes
+        # its pytree structure and forces a spurious prefill recompile at
+        # the next admission (every jitted step keys on the state treedef)
         if self.collect_ecc_stats:
             self._ecc_corrected += int(
-                jnp.sum(self.state.get("ecc_corrected", 0))
+                jnp.sum(self.state.pop("ecc_corrected", 0))
             )
             self._ecc_detected += int(
-                jnp.sum(self.state.get("ecc_detected", 0))
+                jnp.sum(self.state.pop("ecc_detected", 0))
             )
         return logits
 
