@@ -121,6 +121,81 @@ def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
     raise ValueError(f"fused kernel does not support codec '{codec}'")
 
 
+def _extract_kt_tile(codec, raw, head_dim, op_t, *, minus8):
+    """Clean-page fast path: unpack WITHOUT correction (scrub mode).
+
+    After a page has been scrubbed (decoded once, corrected codewords
+    written back), every stored codeword is valid, so decode degenerates to
+    data-bit extraction: ~10 VPU ops per head-page vs ~250/codeword-lane
+    for the full Golay IMLD. This is what makes ECC 'patrol scrubbing'
+    (DRAM-controller style) pay: correct once at write, verify-free reads."""
+    z = 8 if minus8 else 0
+
+    def fin(t):
+        return (_i32(t[:head_dim]) - z).astype(op_t)
+
+    x = _i32(raw)
+    if codec == "hamming84":
+        # data nibbles sit in the low nibble of every byte slot
+        return fin(pltpu.bitcast(x & 0x0F0F0F0F, jnp.int8))
+    if codec == "hamming74":
+        G = x.shape[0] // 7
+        planes = [x[i * G : (i + 1) * G] for i in range(4)]
+        return fin(swar.h74_sliced_unpack_values(planes, G))
+    if codec == "golay":
+        # data12 = bytes 0 (nibbles 0,1) and low nibble of byte 1
+        G = x.shape[0] // 3
+        b0 = _i32(pltpu.bitcast(x[:G], jnp.int8)) & 0xFF
+        b1 = _i32(pltpu.bitcast(x[G : 2 * G], jnp.int8)) & 0xFF
+        return fin(jnp.concatenate([b0 & 0xF, (b0 >> 4) & 0xF, b1 & 0xF],
+                                   axis=0))
+    raise ValueError(f"scrub fast path does not support codec '{codec}'")
+
+
+def _decode_and_repack(codec, raw, head_dim, op_t, *, minus8):
+    """Dirty-page path: full decode AND corrected storage words for the
+    scrub write-back. Returns (value_tile [head_dim, bs] in op_t,
+    corrected_storage [W, bs] same layout as `raw`).
+
+    The corrected words re-ENCODE the decoded data (not cw ^ e), so
+    uncorrectable Golay codewords scrub to the all-zero codeword - which
+    decodes to 0 forever, exactly the zero_uncorrectable semantics - and
+    Hamming84 double errors re-encode their preserved (corrupt) data as a
+    valid codeword, again fixing the decoded value permanently. Scrubbed
+    reads are therefore bit-identical to decode-every-read."""
+    z = 8 if minus8 else 0
+
+    def fin(t):
+        return (_i32(t[:head_dim]) - z).astype(op_t)
+
+    x = _i32(raw)
+    if codec == "hamming84":
+        corrected = swar.h84_swar_correct_data(x)  # nibbles in byte slots
+        store = swar.h84_swar_encode(corrected)
+        return fin(pltpu.bitcast(corrected, jnp.int8)), store
+    if codec == "hamming74":
+        G = x.shape[0] // 7
+        D, _ = swar.h74_sliced_correct_planes(x, G)
+        p0 = D[0] ^ D[1] ^ D[3]
+        p1 = D[0] ^ D[2] ^ D[3]
+        p2 = D[1] ^ D[2] ^ D[3]
+        store = jnp.concatenate(D + [p0, p1, p2], axis=0)
+        return fin(swar.h74_sliced_unpack_values(D, G)), store
+    if codec == "golay":
+        cw = _golay_cw_tile(x)
+        d12 = C.golay_correct_data_i32(cw, _B_MASKS)  # uncorrectable -> 0
+        fixed = C.golay_encode_i32(d12, _B_MASKS)
+        store = []
+        for p in range(3):
+            byte = ((fixed >> (8 * p)) & 0xFF).astype(jnp.int8)
+            store.append(pltpu.bitcast(byte, jnp.int32))
+        planes = jnp.concatenate(
+            [d12 & 0xF, (d12 >> 4) & 0xF, (d12 >> 8) & 0xF], axis=0
+        )
+        return fin(planes), jnp.concatenate(store, axis=0)
+    raise ValueError(f"scrub does not support codec '{codec}'")
+
+
 def _count_errors(codec, raw, valid_lanes):
     """(corrected, detected) scalars for one packed page tile [W, bs],
     masked to valid context tokens (valid_lanes: [1, bs] int32 0/1).
@@ -205,10 +280,14 @@ def _paged_attn_kernel(
     collect_stats: bool,
     read_inject_threshold: int | None,
     sliding_window: int | None,
+    scrub: bool = False,
     return_softmax_state: bool = False,
 ):
     refs = list(refs)
+    scrubbed_ref = None
     if fused_write:
+        # 4th scalar-prefetch arg: per-sequence scrubbed-up-to token count
+        scrubbed_ref = refs.pop(0)
         (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
          k_hbm, v_hbm, ks_hbm, vs_hbm) = refs[:9]
         del refs[:9]
@@ -350,6 +429,11 @@ def _paged_attn_kernel(
                                 is_tok, vsn_ref[0][:, None], vs_buf[slot, i]
                             )
                             wb_pairs += [(ks_buf, kso_ref), (vs_buf, vso_ref)]
+                        if scrub:
+                            # overlay only: the hot page is always dirty, so
+                            # the scrub arm writes the CORRECTED page (and
+                            # its scales) back after decode
+                            return
                         phys = jnp.maximum(
                             block_tables_ref[b, tok_page], 0
                         )
@@ -437,15 +521,132 @@ def _paged_attn_kernel(
             stats_ref[0] += corr_acc
             stats_ref[1] += det_acc
 
-        for h in range(num_kv_heads):
-            # Nibbles (0..15 minus zero point) are EXACT in bf16, so the
-            # fast path runs both matmuls on bf16 operands (1 MXU pass vs 6
-            # for f32 HIGHEST) and folds the per-token dequant scales in
-            # AFTER the QK^T dot / BEFORE the PV dot, where they touch
-            # [group, bs] score tiles instead of [head_dim, bs] pages.
-            # Float codecs (fp16/fp8 baseline arms) skip decode and scales.
+        def attend(h, i, kt, vt):
+            """One (kv-head, in-chunk page) online-softmax accumulation.
+
+            Nibbles (0..15 minus zero point) are EXACT in bf16, so the
+            fast path runs both matmuls on bf16 operands (1 MXU pass vs 6
+            for f32 HIGHEST) and folds the per-token dequant scales in
+            AFTER the QK^T dot / BEFORE the PV dot, where they touch
+            [group, bs] score tiles instead of [head_dim, bs] pages.
+            Float codecs (fp16/fp8 baseline arms) skip decode and scales."""
+            page_start = (c * pages_per_chunk + i) * bs
             q = q_ref[h].astype(op_t)  # [group, L_s] (storage-lane order)
             r0, r1 = h * group, (h + 1) * group
+            if not is_float_codec:
+                ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
+                vs = vs_buf[slot, i, h].astype(jnp.float32)
+
+            s_raw = jax.lax.dot_general(
+                q,
+                kt,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )  # [group, bs]
+            if is_float_codec:
+                s = s_raw * sm_scale
+            else:
+                s = s_raw * (ks * sm_scale)[None, :]
+            token_ids = page_start + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1
+            )
+            live = token_ids < ctx
+            if sliding_window is not None:
+                # decode query position is ctx-1: attend to the last
+                # `sliding_window` tokens only (HF Mistral semantics)
+                live = live & (token_ids >= ctx - sliding_window)
+            s = jnp.where(live, s, _NEG_INF)
+
+            m_prev = m_scr[r0:r1, :1]  # [group, 1]
+            l_prev = l_scr[r0:r1, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p_ij = jnp.exp(s - m_new)
+            l_new = l_prev * alpha + jnp.sum(p_ij, axis=1, keepdims=True)
+            # fold the V dequant scale into the softmax weights, then
+            # contract tokens: p [group, bs] x vt [L_s, bs] -> [group,
+            # L_s]. The -8 zero point becomes a rank-1 correction.
+            pv = p_ij if is_float_codec else p_ij * vs[None, :]
+            pv = pv.astype(op_t)
+            delta = jax.lax.dot_general(
+                pv,
+                vt,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            if not is_float_codec:
+                delta = delta - 8.0 * jnp.sum(
+                    pv.astype(jnp.float32), axis=1, keepdims=True
+                )
+            acc_scr[r0:r1] = acc_scr[r0:r1] * alpha + delta
+            m_scr[r0:r1] = jnp.broadcast_to(m_new, (group, m_scr.shape[1]))
+            l_scr[r0:r1] = jnp.broadcast_to(l_new, (group, l_scr.shape[1]))
+
+        if scrub:
+            # Dirty-page-tracked decode ('patrol scrub'): pages whose tokens
+            # were all written before scrubbed_ref[b] hold only valid
+            # codewords (every dirty read corrects AND writes the corrected
+            # page back), so they take the extract-only fast path. Writes
+            # are append-only, so one per-sequence scalar tracks dirtiness;
+            # the page receiving this step's token is always dirty.
+            tok_page_s = (ctx - 1) // bs
+            for i in range(pages_per_chunk):
+                page = c * pages_per_chunk + i
+                page_start = page * bs
+                dirty = (page == tok_page_s) | (
+                    page_start + bs > scrubbed_ref[b]
+                )
+                dirty = dirty & (page_start < ctx) & (page < max_pages)
+
+                @pl.when(dirty)
+                def _dirty_page(i=i, page=page):
+                    for h in range(num_kv_heads):
+                        kv_, kst = _decode_and_repack(
+                            codec, k_buf[slot, i, h], head_dim, op_t,
+                            minus8=True,
+                        )
+                        vv_, vst = _decode_and_repack(
+                            codec, v_buf[slot, i, h], head_dim, op_t,
+                            minus8=False,
+                        )
+                        k_buf[slot, i, h] = kst
+                        v_buf[slot, i, h] = vst
+                        attend(h, i, kv_, vv_)
+                    # write the corrected page back (scale pages too: for
+                    # the hot page they carry the new token's column; for
+                    # the rest the copy is a semantic no-op)
+                    phys = jnp.maximum(block_tables_ref[b, page], 0)
+                    wb = [
+                        pltpu.make_async_copy(
+                            buf.at[slot, i], out.at[layer, phys], wsem
+                        )
+                        for buf, out in (
+                            (k_buf, ko_ref), (v_buf, vo_ref),
+                            (ks_buf, kso_ref), (vs_buf, vso_ref),
+                        )
+                    ]
+                    for w_ in wb:
+                        w_.start()
+                    for w_ in wb:
+                        w_.wait()
+
+                @pl.when(~dirty)
+                def _clean_page(i=i):
+                    for h in range(num_kv_heads):
+                        kt = _extract_kt_tile(
+                            codec, k_buf[slot, i, h], head_dim, op_t,
+                            minus8=True,
+                        )
+                        vt = _extract_kt_tile(
+                            codec, v_buf[slot, i, h], head_dim, op_t,
+                            minus8=False,
+                        )
+                        attend(h, i, kt, vt)
+            return
+
+        for h in range(num_kv_heads):
             if do_interp:
                 # decode the whole chunk first: interpolation needs
                 # cross-page temporal neighbors. SWAR-decode to per-value
@@ -471,7 +672,6 @@ def _paged_attn_kernel(
                 edge_scr[0, h] = jnp.broadcast_to(k_last, edge_scr.shape[2:])
                 edge_scr[1, h] = jnp.broadcast_to(v_last, edge_scr.shape[2:])
             for i in range(pages_per_chunk):
-                page_start = (c * pages_per_chunk + i) * bs
                 if is_float_codec:
                     kt = k_buf[slot, i, h].astype(op_t)  # [D, bs]
                     vt = v_buf[slot, i, h].astype(op_t)
@@ -493,56 +693,7 @@ def _paged_attn_kernel(
                     vt = _decode_kt_tile(
                         codec, vt_raw, head_dim, op_t, minus8=False
                     )
-                if not is_float_codec:
-                    ks = ks_buf[slot, i, h].astype(jnp.float32)  # [bs]
-                    vs = vs_buf[slot, i, h].astype(jnp.float32)
-
-                s_raw = jax.lax.dot_general(
-                    q,
-                    kt,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )  # [group, bs]
-                if is_float_codec:
-                    s = s_raw * sm_scale
-                else:
-                    s = s_raw * (ks * sm_scale)[None, :]
-                token_ids = page_start + jax.lax.broadcasted_iota(
-                    jnp.int32, s.shape, dimension=1
-                )
-                live = token_ids < ctx
-                if sliding_window is not None:
-                    # decode query position is ctx-1: attend to the last
-                    # `sliding_window` tokens only (HF Mistral semantics)
-                    live = live & (token_ids >= ctx - sliding_window)
-                s = jnp.where(live, s, _NEG_INF)
-
-                m_prev = m_scr[r0:r1, :1]  # [group, 1]
-                l_prev = l_scr[r0:r1, :1]
-                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-                alpha = jnp.exp(m_prev - m_new)
-                p_ij = jnp.exp(s - m_new)
-                l_new = l_prev * alpha + jnp.sum(p_ij, axis=1, keepdims=True)
-                # fold the V dequant scale into the softmax weights, then
-                # contract tokens: p [group, bs] x vt [L_s, bs] -> [group,
-                # L_s]. The -8 zero point becomes a rank-1 correction.
-                pv = p_ij if is_float_codec else p_ij * vs[None, :]
-                pv = pv.astype(op_t)
-                delta = jax.lax.dot_general(
-                    pv,
-                    vt,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=prec,
-                )
-                if not is_float_codec:
-                    delta = delta - 8.0 * jnp.sum(
-                        pv.astype(jnp.float32), axis=1, keepdims=True
-                    )
-                acc_scr[r0:r1] = acc_scr[r0:r1] * alpha + delta
-                m_scr[r0:r1] = jnp.broadcast_to(m_new, (group, m_scr.shape[1]))
-                l_scr[r0:r1] = jnp.broadcast_to(l_new, (group, l_scr.shape[1]))
+                attend(h, i, kt, vt)
 
     @pl.when(c == num_chunks - 1)
     def _finalize():
@@ -772,7 +923,8 @@ def paged_attention_ecc(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
-                     "collect_stats", "read_inject_ber", "sliding_window"),
+                     "collect_stats", "read_inject_ber", "sliding_window",
+                     "scrub"),
     donate_argnums=(5, 6, 7, 8),
 )
 def paged_attention_ecc_write_attend(
@@ -788,7 +940,9 @@ def paged_attention_ecc_write_attend(
     block_table,
     context_lens,
     layer_idx,
+    scrubbed=None,
     *,
+    scrub: bool = False,
     codec: str = "hamming84",
     block_size: int = 128,
     num_pages: int | None = None,
@@ -830,18 +984,35 @@ def paged_attention_ecc_write_attend(
         query, k_cache, block_size, codec, num_pages, block_table, sm_scale,
         pages_per_chunk)
 
+    if scrub:
+        if codec not in ("hamming74", "hamming84", "golay"):
+            raise ValueError(f"scrub requires an ECC codec, got '{codec}'")
+        if use_interpolation:
+            raise ValueError(
+                "scrub + interpolation is unsupported: scrubbing re-encodes "
+                "double-error data as valid codewords, which would erase "
+                "the doubles mask interpolation keys on"
+            )
+        if collect_stats:
+            raise ValueError(
+                "collect_stats counts corrections per READ (reference "
+                "get_ecc_stats semantics); disable scrub to collect them"
+            )
+    if scrubbed is None:
+        scrubbed = jnp.zeros((batch,), jnp.int32)
+
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
-    def q_map(b, c, layer, bt, cl):
+    def q_map(b, c, layer, bt, cl, sc):
         return (b, 0, 0, 0)
 
-    def new_map(b, c, layer, bt, cl):
+    def new_map(b, c, layer, bt, cl, sc):
         return (b, 0, 0, 0)
 
-    def new_scale_map(b, c, layer, bt, cl):
+    def new_scale_map(b, c, layer, bt, cl, sc):
         return (b, 0, 0)
 
-    def stats_map(b, c, layer, bt, cl):
+    def stats_map(b, c, layer, bt, cl, sc):
         return (b, 0)
 
     out_specs = [
@@ -866,7 +1037,7 @@ def paged_attention_ecc_write_attend(
         out_shape.append(jax.ShapeDtypeStruct((batch, 2), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(batch, num_chunks),
         in_specs=[
             pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
@@ -928,21 +1099,23 @@ def paged_attention_ecc_write_attend(
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
         sliding_window=sliding_window,
+        scrub=scrub,
     )
 
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # input indices include the 3 scalar-prefetch args: caches are
-        # inputs 8..11 -> outputs 1..4 (guaranteed in-place update)
-        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        # input indices include the 4 scalar-prefetch args: caches are
+        # inputs 9..12 -> outputs 1..4 (guaranteed in-place update)
+        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
         interpret=C.use_interpret(),
     )(
         jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                    jnp.asarray(read_inject_seed, jnp.int32)]),
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
+        scrubbed.astype(jnp.int32),
         q4,
         k_new.reshape(batch, num_kv_heads, row_w, 1).astype(k_cache.dtype),
         v_new.reshape(batch, num_kv_heads, row_w, 1).astype(v_cache.dtype),

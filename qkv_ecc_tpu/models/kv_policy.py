@@ -52,6 +52,16 @@ class KVCachePolicy:
     # generation the same cached token is re-corrupted differently each
     # step, and actual_ber is measured over READ bits.
     inject_at: str = "write"
+    # ECC patrol scrubbing (this framework's addition; DRAM-controller
+    # style). The fused decode kernel corrects each dirty page ONCE, writes
+    # the corrected codewords back (uncorrectable Golay -> the all-zero
+    # codeword), and takes an extract-only fast path on clean pages.
+    # Decoded values are bit-identical to decode-at-every-read (corrections
+    # are deterministic and idempotent), but the steady-state ECC decode
+    # cost drops to ~0. Automatically disabled where per-read semantics
+    # matter: read-time injection, interpolation, and per-read error-stat
+    # collection (see models/runtime.py use_scrub).
+    scrub: bool = True
 
     def with_seed(self, seed: int) -> "KVCachePolicy":
         return dataclasses.replace(self, seed=seed)

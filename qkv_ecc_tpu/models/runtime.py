@@ -57,6 +57,9 @@ def init_generation_state(
     )
     state = allocate_ecc_kv_cache(cache_cfg)
     state["context_len"] = jnp.zeros((batch,), jnp.int32)
+    # tokens [0, scrubbed) are known error-free in the cache (ECC patrol
+    # scrub, see decode_step); writes are append-only so one scalar suffices
+    state["scrubbed"] = jnp.zeros((batch,), jnp.int32)
     block_table = np.arange(batch * pages_per_seq, dtype=np.int32).reshape(
         batch, pages_per_seq
     )
@@ -196,6 +199,9 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig,
         jnp.full((B,), S, jnp.int32) if true_len is None
         else jnp.asarray(true_len, jnp.int32)
     )
+    # prefill writes through the jnp path (no scrubbing): every written
+    # page is dirty until the first fused decode step corrects it
+    state["scrubbed"] = jnp.zeros((B,), jnp.int32)
     return logits, state
 
 
@@ -224,6 +230,17 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
     positions = pos[:, None]
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3)
     x = _embed(params, token_ids[:, None], cfg, positions)
+    # ECC patrol scrub (policy.scrub): correct dirty pages once in-kernel,
+    # write corrected codewords back, extract-only on clean pages. Decoded
+    # values are bit-identical to decode-every-read; disabled where
+    # per-read semantics matter (stats counting, interpolation masks).
+    use_scrub = (
+        policy.scrub
+        and policy.codec in ("hamming74", "hamming84", "golay")
+        and not policy.use_interpolation
+        and not collect_ecc_stats
+    )
+    scrubbed = state.get("scrubbed", jnp.zeros((B,), jnp.int32))
     read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
     ri_ber = float(policy.ber) if read else 0.0
     ri_seed = (
@@ -258,6 +275,8 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
             block_table,
             pos + 1,
             i,
+            scrubbed,
+            scrub=use_scrub,
             codec=policy.codec,
             block_size=block_size,
             use_interpolation=policy.use_interpolation,
@@ -286,6 +305,8 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
     logits = _lm_head(params, x, cfg)[:, 0]
     state["context_len"] = pos + 1
+    # every page the kernels processed this step is now corrected in HBM
+    state["scrubbed"] = (pos + 1) if use_scrub else scrubbed
     return logits, state
 
 

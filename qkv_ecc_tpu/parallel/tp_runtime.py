@@ -112,6 +112,12 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             block_table,
             state["context_len"] + 1,
             layer_idx,
+            state.get("scrubbed"),
+            scrub=(
+                policy.scrub
+                and policy.codec in ("hamming74", "hamming84", "golay")
+                and not policy.use_interpolation
+            ),
             codec=policy.codec,
             block_size=block_size,
             use_interpolation=policy.use_interpolation,
@@ -196,6 +202,7 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         )
         state = allocate_ecc_kv_cache(cache_cfg)
         state["context_len"] = jnp.zeros((batch,), jnp.int32)
+        state["scrubbed"] = jnp.zeros((batch,), jnp.int32)
         state = {
             k: jax.device_put(v, NamedSharding(mesh, cspecs[k]))
             for k, v in state.items()
@@ -211,7 +218,11 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
     local_cache_specs = {
         k: cspecs[k] for k in ("k_cache", "v_cache", "k_scales", "v_scales")
     }
-    state_specs = {**local_cache_specs, "context_len": P("data")}
+    state_specs = {
+        **local_cache_specs,
+        "context_len": P("data"),
+        "scrubbed": P("data"),
+    }
 
     def _prefill_shard(params, ids, state, block_table, key, logit_pos,
                        true_len):
@@ -228,6 +239,7 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         x_last = jnp.take_along_axis(x, logit_pos[:, None, None], axis=1)
         logits = _lm_head_tp(params, x_last, cfgl)[:, 0]
         state["context_len"] = true_len.astype(jnp.int32)
+        state["scrubbed"] = jnp.zeros_like(state["context_len"])
         return logits, state
 
     def _decode_shard(params, tokens, state, block_table, key):
@@ -244,6 +256,9 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
             )
         logits = _lm_head_tp(params, x, cfgl)[:, 0]
         state["context_len"] = pos + 1
+        if (policy.scrub and policy.codec in ("hamming74", "hamming84", "golay")
+                and not policy.use_interpolation):
+            state["scrubbed"] = pos + 1
         return logits, state
 
     def _wrap(fn, n_extra_data_args=0):

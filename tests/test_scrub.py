@@ -1,0 +1,119 @@
+"""ECC patrol scrubbing (kernels/paged_attention.py scrub mode).
+
+Scrubbing must be OBSERVATIONALLY INVISIBLE: decode corrections are
+deterministic and idempotent, so correcting a dirty page once and writing
+the corrected codewords back (uncorrectable Golay -> all-zero codeword)
+yields bit-identical attention outputs to decode-at-every-read, while the
+steady-state decode cost drops to an extract-only fast path."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qkv_ecc_tpu.models.config import TINY_LLAMA
+from qkv_ecc_tpu.models.kv_policy import policy_for_mode
+from qkv_ecc_tpu.models.registry import init_params
+from qkv_ecc_tpu.models.runtime import (
+    decode_step,
+    init_generation_state,
+    prefill,
+)
+
+MODES = ["int12-golay", "int4-hamming84", "int4-hamming"]
+
+
+def _run(params, cfg, mode, ber, scrub, steps=4, batch=2, prompt=21,
+         block_size=16):
+    policy = dataclasses.replace(
+        policy_for_mode(mode, ber=ber, seed=42), scrub=scrub
+    )
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt)))
+    state, bt, _ = init_generation_state(
+        cfg, policy, batch, prompt + steps + 2, block_size=block_size
+    )
+    key = jax.random.key(7)
+    logits, state = prefill(params, ids, state, bt, cfg, policy, key)
+    outs = [np.asarray(logits)]
+    for s in range(steps):
+        tok = jnp.argmax(logits, axis=-1)
+        logits, state = decode_step(
+            params, tok, state, bt, cfg, policy,
+            jax.random.fold_in(key, s), block_size=block_size,
+        )
+        outs.append(np.asarray(logits))
+    return outs, state
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = dataclasses.replace(TINY_LLAMA, name="scrub-tiny")
+    return init_params(cfg, 0), cfg
+
+
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("ber", [0.0, 1e-2, 8e-2])
+def test_scrub_is_bit_identical(tiny, mode, ber):
+    """Scrubbed decode == decode-every-read, bitwise, including BERs high
+    enough to produce uncorrectable codewords (golay zero-codeword scrub)."""
+    params, cfg = tiny
+    ref, _ = _run(params, cfg, mode, ber, scrub=False)
+    got, _ = _run(params, cfg, mode, ber, scrub=True)
+    assert len(ref) == len(got)
+    for step, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {step}")
+
+
+def test_scrub_cleans_cache(tiny):
+    """After one scrubbed decode step, every attended codeword in the cache
+    is valid (zero syndrome) up to the scrubbed watermark."""
+    from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
+    from qkv_ecc_tpu.kernels import swar
+    from qkv_ecc_tpu.kernels.common import golay_decode_i32
+
+    params, cfg = tiny
+    _, state = _run(params, cfg, "int12-golay", 1e-2, scrub=True, steps=2)
+    scrubbed = np.asarray(state["scrubbed"])
+    assert (scrubbed == np.asarray(state["context_len"]) ).all()
+    bm = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
+    kc = np.asarray(state["k_cache"])  # [L, blocks, H, W, bs]
+    bs = kc.shape[-1]
+    # sequence 0 owns blocks [0, pages); check its scrubbed tokens
+    n_ok = int(scrubbed[0]) - 1  # the newest token was written post-scrub
+    cw = swar.unpack_codewords(
+        "golay", jnp.asarray(kc[:, : (n_ok // bs + 1)]), cfg.head_dim, axis=3
+    )
+    _, cnt = golay_decode_i32(cw, bm, zero_uncorrectable=True)
+    cnt = np.asarray(cnt)  # [L, pages, H, C4, bs]
+    toks = np.arange(cnt.shape[1] * bs).reshape(cnt.shape[1], bs)
+    older = toks < n_ok  # strictly pre-hot-token positions
+    mask = older[None, :, None, None, :]  # broadcast over L, H, C4
+    assert (np.where(mask, cnt, 0) == 0).all(), "scrubbed page has errors"
+
+
+def test_scrub_serving_outputs_match(tiny):
+    """Serving with scrub (stats off) produces the same tokens as the
+    always-decode server."""
+    from qkv_ecc_tpu.serving.scheduler import ContinuousBatchingServer, Request
+
+    params, cfg = tiny
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)) for n in (5, 11, 17)]
+
+    def serve(scrub):
+        policy = dataclasses.replace(
+            policy_for_mode("int12-golay", ber=1e-2, seed=42), scrub=scrub
+        )
+        srv = ContinuousBatchingServer(
+            params, cfg, policy, max_batch=2, max_seq_len=64,
+            block_size=16, num_blocks=12, collect_ecc_stats=False,
+        )
+        for i, p in enumerate(prompts):
+            srv.add_request(Request(i, p, max_new_tokens=5))
+        outs = srv.run()
+        return {o.request_id: o.token_ids for o in outs}
+
+    assert serve(True) == serve(False)
