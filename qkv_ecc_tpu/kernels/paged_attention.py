@@ -152,50 +152,6 @@ def _extract_kt_tile(codec, raw, head_dim, op_t, *, minus8):
     raise ValueError(f"scrub fast path does not support codec '{codec}'")
 
 
-def _decode_and_repack(codec, raw, head_dim, op_t, *, minus8):
-    """Dirty-page path: full decode AND corrected storage words for the
-    scrub write-back. Returns (value_tile [head_dim, bs] in op_t,
-    corrected_storage [W, bs] same layout as `raw`).
-
-    The corrected words re-ENCODE the decoded data (not cw ^ e), so
-    uncorrectable Golay codewords scrub to the all-zero codeword - which
-    decodes to 0 forever, exactly the zero_uncorrectable semantics - and
-    Hamming84 double errors re-encode their preserved (corrupt) data as a
-    valid codeword, again fixing the decoded value permanently. Scrubbed
-    reads are therefore bit-identical to decode-every-read."""
-    z = 8 if minus8 else 0
-
-    def fin(t):
-        return (_i32(t[:head_dim]) - z).astype(op_t)
-
-    x = _i32(raw)
-    if codec == "hamming84":
-        corrected = swar.h84_swar_correct_data(x)  # nibbles in byte slots
-        store = swar.h84_swar_encode(corrected)
-        return fin(pltpu.bitcast(corrected, jnp.int8)), store
-    if codec == "hamming74":
-        G = x.shape[0] // 7
-        D, _ = swar.h74_sliced_correct_planes(x, G)
-        p0 = D[0] ^ D[1] ^ D[3]
-        p1 = D[0] ^ D[2] ^ D[3]
-        p2 = D[1] ^ D[2] ^ D[3]
-        store = jnp.concatenate(D + [p0, p1, p2], axis=0)
-        return fin(swar.h74_sliced_unpack_values(D, G)), store
-    if codec == "golay":
-        cw = _golay_cw_tile(x)
-        d12 = C.golay_correct_data_i32(cw, _B_MASKS)  # uncorrectable -> 0
-        fixed = C.golay_encode_i32(d12, _B_MASKS)
-        store = []
-        for p in range(3):
-            byte = ((fixed >> (8 * p)) & 0xFF).astype(jnp.int8)
-            store.append(pltpu.bitcast(byte, jnp.int32))
-        planes = jnp.concatenate(
-            [d12 & 0xF, (d12 >> 4) & 0xF, (d12 >> 8) & 0xF], axis=0
-        )
-        return fin(planes), jnp.concatenate(store, axis=0)
-    raise ValueError(f"scrub does not support codec '{codec}'")
-
-
 def _count_errors(codec, raw, valid_lanes):
     """(corrected, detected) scalars for one packed page tile [W, bs],
     masked to valid context tokens (valid_lanes: [1, bs] int32 0/1).
@@ -284,10 +240,7 @@ def _paged_attn_kernel(
     return_softmax_state: bool = False,
 ):
     refs = list(refs)
-    scrubbed_ref = None
     if fused_write:
-        # 4th scalar-prefetch arg: per-sequence scrubbed-up-to token count
-        scrubbed_ref = refs.pop(0)
         (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
          k_hbm, v_hbm, ks_hbm, vs_hbm) = refs[:9]
         del refs[:9]
@@ -429,11 +382,6 @@ def _paged_attn_kernel(
                                 is_tok, vsn_ref[0][:, None], vs_buf[slot, i]
                             )
                             wb_pairs += [(ks_buf, kso_ref), (vs_buf, vso_ref)]
-                        if scrub:
-                            # overlay only: the hot page is always dirty, so
-                            # the scrub arm writes the CORRECTED page (and
-                            # its scales) back after decode
-                            return
                         phys = jnp.maximum(
                             block_tables_ref[b, tok_page], 0
                         )
@@ -585,65 +533,22 @@ def _paged_attn_kernel(
             l_scr[r0:r1] = jnp.broadcast_to(l_new, (group, l_scr.shape[1]))
 
         if scrub:
-            # Dirty-page-tracked decode ('patrol scrub'): pages whose tokens
-            # were all written before scrubbed_ref[b] hold only valid
-            # codewords (every dirty read corrects AND writes the corrected
-            # page back), so they take the extract-only fast path. Writes
-            # are append-only, so one per-sequence scalar tracks dirtiness;
-            # the page receiving this step's token is always dirty.
-            tok_page_s = (ctx - 1) // bs
+            # Write-path-scrubbed cache: every stored codeword is valid
+            # (corrections were applied and re-encoded at WRITE time, see
+            # swar.scrub_codewords), so decode degenerates to unconditional
+            # data-bit extraction - no per-page branches, no correction
+            # network, no write-backs beyond the normal token overlay.
             for i in range(pages_per_chunk):
-                page = c * pages_per_chunk + i
-                page_start = page * bs
-                dirty = (page == tok_page_s) | (
-                    page_start + bs > scrubbed_ref[b]
-                )
-                dirty = dirty & (page_start < ctx) & (page < max_pages)
-
-                @pl.when(dirty)
-                def _dirty_page(i=i, page=page):
-                    for h in range(num_kv_heads):
-                        kv_, kst = _decode_and_repack(
-                            codec, k_buf[slot, i, h], head_dim, op_t,
-                            minus8=True,
-                        )
-                        vv_, vst = _decode_and_repack(
-                            codec, v_buf[slot, i, h], head_dim, op_t,
-                            minus8=False,
-                        )
-                        k_buf[slot, i, h] = kst
-                        v_buf[slot, i, h] = vst
-                        attend(h, i, kv_, vv_)
-                    # write the corrected page back (scale pages too: for
-                    # the hot page they carry the new token's column; for
-                    # the rest the copy is a semantic no-op)
-                    phys = jnp.maximum(block_tables_ref[b, page], 0)
-                    wb = [
-                        pltpu.make_async_copy(
-                            buf.at[slot, i], out.at[layer, phys], wsem
-                        )
-                        for buf, out in (
-                            (k_buf, ko_ref), (v_buf, vo_ref),
-                            (ks_buf, kso_ref), (vs_buf, vso_ref),
-                        )
-                    ]
-                    for w_ in wb:
-                        w_.start()
-                    for w_ in wb:
-                        w_.wait()
-
-                @pl.when(~dirty)
-                def _clean_page(i=i):
-                    for h in range(num_kv_heads):
-                        kt = _extract_kt_tile(
-                            codec, k_buf[slot, i, h], head_dim, op_t,
-                            minus8=True,
-                        )
-                        vt = _extract_kt_tile(
-                            codec, v_buf[slot, i, h], head_dim, op_t,
-                            minus8=False,
-                        )
-                        attend(h, i, kt, vt)
+                for h in range(num_kv_heads):
+                    kt = _extract_kt_tile(
+                        codec, k_buf[slot, i, h], head_dim, op_t,
+                        minus8=True,
+                    )
+                    vt = _extract_kt_tile(
+                        codec, v_buf[slot, i, h], head_dim, op_t,
+                        minus8=False,
+                    )
+                    attend(h, i, kt, vt)
             return
 
         for h in range(num_kv_heads):
@@ -940,7 +845,6 @@ def paged_attention_ecc_write_attend(
     block_table,
     context_lens,
     layer_idx,
-    scrubbed=None,
     *,
     scrub: bool = False,
     codec: str = "hamming84",
@@ -998,21 +902,18 @@ def paged_attention_ecc_write_attend(
                 "collect_stats counts corrections per READ (reference "
                 "get_ecc_stats semantics); disable scrub to collect them"
             )
-    if scrubbed is None:
-        scrubbed = jnp.zeros((batch,), jnp.int32)
-
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
-    def q_map(b, c, layer, bt, cl, sc):
+    def q_map(b, c, layer, bt, cl):
         return (b, 0, 0, 0)
 
-    def new_map(b, c, layer, bt, cl, sc):
+    def new_map(b, c, layer, bt, cl):
         return (b, 0, 0, 0)
 
-    def new_scale_map(b, c, layer, bt, cl, sc):
+    def new_scale_map(b, c, layer, bt, cl):
         return (b, 0, 0)
 
-    def stats_map(b, c, layer, bt, cl, sc):
+    def stats_map(b, c, layer, bt, cl):
         return (b, 0)
 
     out_specs = [
@@ -1037,7 +938,7 @@ def paged_attention_ecc_write_attend(
         out_shape.append(jax.ShapeDtypeStruct((batch, 2), jnp.int32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(batch, num_chunks),
         in_specs=[
             pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
@@ -1106,16 +1007,15 @@ def paged_attention_ecc_write_attend(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # input indices include the 4 scalar-prefetch args: caches are
-        # inputs 9..12 -> outputs 1..4 (guaranteed in-place update)
-        input_output_aliases={9: 1, 10: 2, 11: 3, 12: 4},
+        # input indices include the 3 scalar-prefetch args: caches are
+        # inputs 8..11 -> outputs 1..4 (guaranteed in-place update)
+        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
         interpret=C.use_interpret(),
     )(
         jnp.stack([jnp.asarray(layer_idx, jnp.int32),
                    jnp.asarray(read_inject_seed, jnp.int32)]),
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
-        scrubbed.astype(jnp.int32),
         q4,
         k_new.reshape(batch, num_kv_heads, row_w, 1).astype(k_cache.dtype),
         v_new.reshape(batch, num_kv_heads, row_w, 1).astype(v_cache.dtype),

@@ -423,6 +423,29 @@ def encode_codewords(codec: str, q, head_dim: int):
     raise ValueError(codec)
 
 
+def scrub_codewords(codec: str, cw):
+    """Write-path scrub: decode each (possibly fault-injected) logical
+    codeword and RE-ENCODE its corrected data, so the stored form is always
+    a valid codeword (uncorrectable Golay -> the all-zero codeword, which
+    decodes to 0 forever - the zero_uncorrectable read semantics; Hamming84
+    doubles re-encode their preserved data). Corrections are deterministic
+    and idempotent, so decoded values are bit-identical to storing the raw
+    corrupted codeword and correcting at every read - but reads degenerate
+    to data-bit extraction (the fused kernel's scrub fast path)."""
+    from . import common as C
+
+    if codec == "int4":
+        return cw  # nothing to correct
+    if codec == "hamming74":
+        return C.hamming74_encode_i32(C.hamming74_correct_data_i32(cw))
+    if codec == "hamming84":
+        return C.hamming84_encode_i32(C.hamming84_correct_data_i32(cw))
+    if codec == "golay":
+        d12, _ = C.golay_decode_i32(cw, _B_MASKS, zero_uncorrectable=True)
+        return C.golay_encode_i32(d12, _B_MASKS)
+    raise ValueError(codec)
+
+
 def decode_values(codec: str, cw, head_dim: int, *, zero_uncorrectable=False):
     """Logical codewords -> corrected nibbles [..., head_dim] (jnp oracle
     path; stats-free). Mirrors the fused kernel's data-only correctors."""

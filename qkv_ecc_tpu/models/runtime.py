@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
+from ..kernels import swar
 from ..kernels.paged_attention import (
     paged_attention_ecc,
     paged_attention_ecc_write_attend,
@@ -35,6 +36,18 @@ from .kv_policy import KVCachePolicy, decode_kv, encode_kv, pack_kv
 from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
 
 FUSED_CODECS = ("int4", "hamming74", "hamming84", "golay", "fp16", "fp8")
+
+
+def _use_scrub(policy: KVCachePolicy) -> bool:
+    """Write-path ECC scrubbing applies when corrections are deterministic
+    per stored codeword: persistent (write-time) fault injection, no
+    interpolation (it needs the per-read doubles mask). Decoded values are
+    bit-identical either way (tests/test_scrub.py)."""
+    return (
+        policy.scrub
+        and policy.codec in ("hamming74", "hamming84", "golay")
+        and not policy.use_interpolation
+    )
 
 
 def init_generation_state(
@@ -57,9 +70,6 @@ def init_generation_state(
     )
     state = allocate_ecc_kv_cache(cache_cfg)
     state["context_len"] = jnp.zeros((batch,), jnp.int32)
-    # tokens [0, scrubbed) are known error-free in the cache (ECC patrol
-    # scrub, see decode_step); writes are append-only so one scalar suffices
-    state["scrubbed"] = jnp.zeros((batch,), jnp.int32)
     block_table = np.arange(batch * pages_per_seq, dtype=np.int32).reshape(
         batch, pages_per_seq
     )
@@ -163,14 +173,18 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig,
     inv_freq = rope_frequencies(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3)
     x = _embed(params, input_ids, cfg, positions)
     read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
+    use_scrub = _use_scrub(policy)
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, step_key)
         kc, ks, _ = encode_kv(k, policy, kk)
         vc, vs, _ = encode_kv(v, policy, vk)
+        kcs = swar.scrub_codewords(policy.codec, kc) if use_scrub else kc
+        vcs = swar.scrub_codewords(policy.codec, vc) if use_scrub else vc
         state = _write_tokens(
             state, i, block_table, positions,
-            pack_kv(kc, policy, cfg.head_dim), pack_kv(vc, policy, cfg.head_dim),
+            pack_kv(kcs, policy, cfg.head_dim),
+            pack_kv(vcs, policy, cfg.head_dim),
             ks, vs,
         )
         if read:  # unprotected arm: fresh flips on the nibbles read back
@@ -199,9 +213,6 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig,
         jnp.full((B,), S, jnp.int32) if true_len is None
         else jnp.asarray(true_len, jnp.int32)
     )
-    # prefill writes through the jnp path (no scrubbing): every written
-    # page is dirty until the first fused decode step corrects it
-    state["scrubbed"] = jnp.zeros((B,), jnp.int32)
     return logits, state
 
 
@@ -234,13 +245,7 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
     # write corrected codewords back, extract-only on clean pages. Decoded
     # values are bit-identical to decode-every-read; disabled where
     # per-read semantics matter (stats counting, interpolation masks).
-    use_scrub = (
-        policy.scrub
-        and policy.codec in ("hamming74", "hamming84", "golay")
-        and not policy.use_interpolation
-        and not collect_ecc_stats
-    )
-    scrubbed = state.get("scrubbed", jnp.zeros((B,), jnp.int32))
+    use_scrub = _use_scrub(policy) and not collect_ecc_stats
     read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
     ri_ber = float(policy.ber) if read else 0.0
     ri_seed = (
@@ -255,6 +260,9 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
         kc, ks, _ = encode_kv(k, policy, kk)
         vc, vs, _ = encode_kv(v, policy, vk)
+        if use_scrub:
+            kc = swar.scrub_codewords(policy.codec, kc)
+            vc = swar.scrub_codewords(policy.codec, vc)
         kc = pack_kv(kc, policy, cfg.head_dim)
         vc = pack_kv(vc, policy, cfg.head_dim)
         if ks is None:  # float codecs carry no dequant scales
@@ -275,7 +283,6 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
             block_table,
             pos + 1,
             i,
-            scrubbed,
             scrub=use_scrub,
             codec=policy.codec,
             block_size=block_size,
@@ -305,8 +312,6 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
     logits = _lm_head(params, x, cfg)[:, 0]
     state["context_len"] = pos + 1
-    # every page the kernels processed this step is now corrected in HBM
-    state["scrubbed"] = (pos + 1) if use_scrub else scrubbed
     return logits, state
 
 

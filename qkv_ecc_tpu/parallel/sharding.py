@@ -81,7 +81,6 @@ def cache_specs() -> dict:
         "k_scales": P(None, None, "model", None),
         "v_scales": P(None, None, "model", None),
         "context_len": P(),
-        "scrubbed": P(),
     }
 
 

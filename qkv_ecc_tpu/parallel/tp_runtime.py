@@ -32,10 +32,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
+from ..kernels import swar
 from ..kernels.paged_attention import paged_attention_ecc_write_attend
 from ..models.config import ModelConfig
 from ..models.kv_policy import KVCachePolicy, decode_kv, encode_kv, pack_kv
 from ..models.layers import apply_rope, causal_attention, rms_norm, rope_frequencies
+from ..models.runtime import _use_scrub as use_scrub
 from ..models.runtime import _write_tokens
 from .sharding import cache_specs, param_specs
 
@@ -77,8 +79,13 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     vk = jax.random.fold_in(vk, shard)
     kc, ks, _ = encode_kv(k, policy, kk)
     vc, vs, _ = encode_kv(v, policy, vk)
-    kcp = pack_kv(kc, policy, D)
-    vcp = pack_kv(vc, policy, D)
+    if use_scrub(policy):
+        kc_st = swar.scrub_codewords(policy.codec, kc)
+        vc_st = swar.scrub_codewords(policy.codec, vc)
+    else:
+        kc_st, vc_st = kc, vc
+    kcp = pack_kv(kc_st, policy, D)
+    vcp = pack_kv(vc_st, policy, D)
     if ks is None:  # float codecs (fp16/fp8) carry no dequant scales
         ks = vs = jnp.ones(kcp.shape[:3], jnp.float32)
     read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
@@ -112,12 +119,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             block_table,
             state["context_len"] + 1,
             layer_idx,
-            state.get("scrubbed"),
-            scrub=(
-                policy.scrub
-                and policy.codec in ("hamming74", "hamming84", "golay")
-                and not policy.use_interpolation
-            ),
+            scrub=use_scrub(policy),
             codec=policy.codec,
             block_size=block_size,
             use_interpolation=policy.use_interpolation,
@@ -202,7 +204,6 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         )
         state = allocate_ecc_kv_cache(cache_cfg)
         state["context_len"] = jnp.zeros((batch,), jnp.int32)
-        state["scrubbed"] = jnp.zeros((batch,), jnp.int32)
         state = {
             k: jax.device_put(v, NamedSharding(mesh, cspecs[k]))
             for k, v in state.items()
@@ -218,11 +219,7 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
     local_cache_specs = {
         k: cspecs[k] for k in ("k_cache", "v_cache", "k_scales", "v_scales")
     }
-    state_specs = {
-        **local_cache_specs,
-        "context_len": P("data"),
-        "scrubbed": P("data"),
-    }
+    state_specs = {**local_cache_specs, "context_len": P("data")}
 
     def _prefill_shard(params, ids, state, block_table, key, logit_pos,
                        true_len):
@@ -239,7 +236,6 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         x_last = jnp.take_along_axis(x, logit_pos[:, None, None], axis=1)
         logits = _lm_head_tp(params, x_last, cfgl)[:, 0]
         state["context_len"] = true_len.astype(jnp.int32)
-        state["scrubbed"] = jnp.zeros_like(state["context_len"])
         return logits, state
 
     def _decode_shard(params, tokens, state, block_table, key):
@@ -256,9 +252,6 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
             )
         logits = _lm_head_tp(params, x, cfgl)[:, 0]
         state["context_len"] = pos + 1
-        if (policy.scrub and policy.codec in ("hamming74", "hamming84", "golay")
-                and not policy.use_interpolation):
-            state["scrubbed"] = pos + 1
         return logits, state
 
     def _wrap(fn, n_extra_data_args=0):

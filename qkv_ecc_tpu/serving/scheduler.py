@@ -65,7 +65,6 @@ class _SlotState:
     context_len: int  # tokens written to the cache (prompt + generated)
     generated: List[int]
     next_token: int  # sampled but not yet written/decoded
-    scrubbed: int = 0  # tokens known error-free in the cache (ECC scrub)
 
 
 class ContinuousBatchingServer:
@@ -120,7 +119,6 @@ class ContinuousBatchingServer:
         self.cache_cfg = cache_cfg
         self.state = allocate_ecc_kv_cache(cache_cfg)
         self.state["context_len"] = jnp.zeros((max_batch,), jnp.int32)
-        self.state["scrubbed"] = jnp.zeros((max_batch,), jnp.int32)
         # +1 manager row: row 0 owns the trash page, slots are rows 1..B
         self.manager = BlockManager(
             num_blocks, block_size, max_seqs=max_batch + 1
@@ -157,7 +155,6 @@ class ContinuousBatchingServer:
 
     def _run_decode(self, tokens, block_table, key):
         self.state["context_len"] = jnp.asarray(self._context_lens())
-        self.state["scrubbed"] = jnp.asarray(self._scrubbed_lens())
         self.state.pop("ecc_corrected", None)
         self.state.pop("ecc_detected", None)
         logits, self.state = decode_step(
@@ -196,13 +193,6 @@ class ContinuousBatchingServer:
         full = self.manager.block_table(self.max_pages_per_seq)
         # manager rows are offset by one (trash owner at row 0)
         return full[1 : self.max_batch + 1]
-
-    def _scrubbed_lens(self) -> np.ndarray:
-        lens = np.zeros(self.max_batch, np.int32)
-        for s, st in enumerate(self.slots):
-            if st is not None:
-                lens[s] = st.scrubbed
-        return lens
 
     def _context_lens(self) -> np.ndarray:
         lens = np.zeros(self.max_batch, np.int32)
@@ -338,8 +328,6 @@ class ContinuousBatchingServer:
                 if st is None:
                     continue
                 st.context_len += 1
-                # the fused decode step scrubbed everything it attended
-                st.scrubbed = st.context_len
                 st.next_token = int(next_tokens[s])
                 self._note_token(s, st.next_token)
         new = self.finished[already_done:]

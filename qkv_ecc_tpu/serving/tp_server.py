@@ -77,7 +77,6 @@ class TPContinuousBatchingServer(ContinuousBatchingServer):
             [true_len, jnp.zeros((self.dp - B,), jnp.int32)]
         )
         self.state["context_len"] = jnp.zeros((self.dp,), jnp.int32)
-        self.state["scrubbed"] = jnp.zeros((self.dp,), jnp.int32)
         logits, self.state = self._tp_prefill(
             self._tp_params, ids_p, self.state, rows_p, key, lp, tl
         )
@@ -85,7 +84,6 @@ class TPContinuousBatchingServer(ContinuousBatchingServer):
 
     def _run_decode(self, tokens, block_table, key):
         self.state["context_len"] = jnp.asarray(self._context_lens())
-        self.state["scrubbed"] = jnp.asarray(self._scrubbed_lens())
         # TP decode uses the fused write+attend kernel, which clamps -1
         # block-table entries to the trash page itself
         logits, self.state = self._tp_decode(

@@ -68,30 +68,29 @@ def test_scrub_is_bit_identical(tiny, mode, ber):
 
 
 def test_scrub_cleans_cache(tiny):
-    """After one scrubbed decode step, every attended codeword in the cache
-    is valid (zero syndrome) up to the scrubbed watermark."""
+    """With write-path scrubbing, EVERY stored codeword in the written
+    context is a valid codeword (corrections applied before storage), so
+    reads can extract data bits without a correction network."""
     from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
     from qkv_ecc_tpu.kernels import swar
     from qkv_ecc_tpu.kernels.common import golay_decode_i32
 
     params, cfg = tiny
     _, state = _run(params, cfg, "int12-golay", 1e-2, scrub=True, steps=2)
-    scrubbed = np.asarray(state["scrubbed"])
-    assert (scrubbed == np.asarray(state["context_len"]) ).all()
     bm = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
     kc = np.asarray(state["k_cache"])  # [L, blocks, H, W, bs]
     bs = kc.shape[-1]
-    # sequence 0 owns blocks [0, pages); check its scrubbed tokens
-    n_ok = int(scrubbed[0]) - 1  # the newest token was written post-scrub
+    # sequence 0 owns blocks [0, pages); ALL its written tokens are clean
+    n_ok = int(np.asarray(state["context_len"])[0])
     cw = swar.unpack_codewords(
-        "golay", jnp.asarray(kc[:, : (n_ok // bs + 1)]), cfg.head_dim, axis=3
+        "golay", jnp.asarray(kc[:, : (n_ok - 1) // bs + 1]), cfg.head_dim,
+        axis=3,
     )
     _, cnt = golay_decode_i32(cw, bm, zero_uncorrectable=True)
     cnt = np.asarray(cnt)  # [L, pages, H, C4, bs]
     toks = np.arange(cnt.shape[1] * bs).reshape(cnt.shape[1], bs)
-    older = toks < n_ok  # strictly pre-hot-token positions
-    mask = older[None, :, None, None, :]  # broadcast over L, H, C4
-    assert (np.where(mask, cnt, 0) == 0).all(), "scrubbed page has errors"
+    mask = (toks < n_ok)[None, :, None, None, :]  # over L, H, C4
+    assert (np.where(mask, cnt, 0) == 0).all(), "written page has errors"
 
 
 def test_scrub_serving_outputs_match(tiny):
