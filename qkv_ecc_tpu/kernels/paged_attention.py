@@ -113,9 +113,10 @@ def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
         cw = _golay_cw_tile(x)
         d12 = C.golay_correct_data_i32(cw, _B_MASKS)  # [C4, bs]
         # third-partitioned nibble planes stack along sublanes into
-        # head-dim order (swar.golay_pack_thirds)
+        # head-dim order (swar.golay_pack_thirds: thirds 0/1/2 live in
+        # bits 0-3 / 8-11 / 4-7)
         planes = jnp.concatenate(
-            [d12 & 0xF, (d12 >> 4) & 0xF, (d12 >> 8) & 0xF], axis=0
+            [d12 & 0xF, (d12 >> 8) & 0xF, (d12 >> 4) & 0xF], axis=0
         )
         return fin(planes)
     raise ValueError(f"fused kernel does not support codec '{codec}'")
@@ -143,12 +144,18 @@ def _extract_kt_tile(codec, raw, head_dim, op_t, *, minus8):
         planes = [x[i * G : (i + 1) * G] for i in range(4)]
         return fin(swar.h74_sliced_unpack_values(planes, G))
     if codec == "golay":
-        # data12 = bytes 0 (nibbles 0,1) and low nibble of byte 1
-        G = x.shape[0] // 3
-        b0 = _i32(pltpu.bitcast(x[:G], jnp.int8)) & 0xFF
-        b1 = _i32(pltpu.bitcast(x[G : 2 * G], jnp.int8)) & 0xFF
-        return fin(jnp.concatenate([b0 & 0xF, (b0 >> 4) & 0xF, b1 & 0xF],
-                                   axis=0))
+        # One bitcast over ALL THREE byte planes: int8 rows [0,C4) = byte 0,
+        # [C4,2C4) = byte 1, [2C4,3C4) = byte 2 of each codeword. With the
+        # pack_thirds nibble order (thirds 0/1/2 in bits 0-3/8-11/4-7),
+        # `full & 0xF` rows [0, 2C4) are values [0, 2C4) in order and
+        # `(full >> 4) & 0xF` rows [0, C4) are values [2C4, 3C4) - both
+        # concat pieces land at sublane-ALIGNED offsets (0 and 88), unlike
+        # the three 44-row concats of the full-decode path.
+        c4 = 4 * (x.shape[0] // 3)
+        full = _i32(pltpu.bitcast(x, jnp.int8))
+        lo = full & 0xF
+        hi = (full >> 4) & 0xF
+        return fin(jnp.concatenate([lo[: 2 * c4], hi[:c4]], axis=0))
     raise ValueError(f"scrub fast path does not support codec '{codec}'")
 
 

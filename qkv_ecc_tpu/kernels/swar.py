@@ -249,19 +249,27 @@ def h74_sliced_unpack_values(planes, G: int):
 
 def golay_pack_thirds(vals, axis=-1):
     """[..., 3C] nibbles -> [..., C] 12-bit data words, third-partitioned:
-    word c = v[c] | v[c+C]<<4 | v[c+2C]<<8 (see module docstring; the
+    word c = v[c] | v[c+2C]<<4 | v[c+C]<<8 (see module docstring; the
     reference packed adjacent triplets, ecc_shim.py:678 - protection-
-    equivalent, mapping differs)."""
+    equivalent, mapping differs).
+
+    The SECOND third of the head dim sits in bits 8..11 (the low nibble of
+    codeword byte 1) and the LAST third in bits 4..7: after the storage
+    bitcast, `full & 0xF` yields value rows [0, 2C) CONTIGUOUSLY (byte-0
+    low nibbles then byte-1 low nibbles) and `(full >> 4) & 0xF` rows
+    [2C, 3C) - so the scrub-mode extract assembles the K^T tile from two
+    SUBLANE-ALIGNED pieces (offsets 0 and 88 for head_dim 128) instead of
+    three 44-row concats whose 44-row boundary relayouts every tile."""
     v = jnp.moveaxis(vals, axis, -1).astype(jnp.int32) & 0xF
     c = v.shape[-1] // 3
-    w = v[..., :c] | (v[..., c : 2 * c] << 4) | (v[..., 2 * c :] << 8)
+    w = v[..., :c] | (v[..., 2 * c :] << 4) | (v[..., c : 2 * c] << 8)
     return jnp.moveaxis(w, -1, axis)
 
 
 def golay_unpack_thirds(data12, axis=-1):
     """Inverse of golay_pack_thirds: [..., C] -> [..., 3C] nibbles."""
     d = jnp.moveaxis(data12, axis, -1).astype(jnp.int32)
-    out = jnp.concatenate([d & 0xF, (d >> 4) & 0xF, (d >> 8) & 0xF], axis=-1)
+    out = jnp.concatenate([d & 0xF, (d >> 8) & 0xF, (d >> 4) & 0xF], axis=-1)
     return jnp.moveaxis(out, -1, axis)
 
 

@@ -15,6 +15,7 @@ Layout (new TPU-native infrastructure; the reference is single-GPU):
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.config import ModelConfig
@@ -43,19 +44,18 @@ def llama_param_specs(cfg: ModelConfig) -> dict:
 
 
 def gpt2_param_specs(cfg: ModelConfig) -> dict:
-    # GPT-2's c_attn packs Q|K|V along its output dim, so a plain
-    # P(None, "model") column shard would cut across the Q/K/V boundary
-    # instead of splitting each segment by heads. Attention weights are
-    # therefore REPLICATED (attention runs fully on each shard) and only the
-    # MLP is tensor-parallel. GPT-2 TP is correspondingly guarded off in
-    # tp_runtime (it is a single-chip 124M model; TP targets the llama
-    # family). A proper GPT-2 TP would pre-split c_attn into three
-    # head-sharded segments at conversion time.
+    # GPT-2's c_attn packs Q|K|V along its output dim, so a plain column
+    # shard would cut across the Q/K/V boundary instead of splitting each
+    # segment by heads. shard_params therefore PERMUTES c_attn's columns
+    # head-blockwise first (permute_gpt2_qkv), after which shard s's slice
+    # is exactly [Q_s | K_s | V_s] and attention is fully tensor-parallel:
+    # c_attn column-sharded, c_proj row-sharded + psum (its bias added once
+    # after the reduction, tp_runtime._block_tp).
     layer = {
         "ln_1": {"g": P(), "b": P()},
         "ln_2": {"g": P(), "b": P()},
-        "c_attn": {"w": P(None, None), "b": P()},  # replicated (see note)
-        "c_proj": {"w": P(None, None), "b": P()},
+        "c_attn": {"w": P(None, "model"), "b": P("model")},
+        "c_proj": {"w": P("model", None), "b": P()},
         "c_fc": {"w": P(None, "model"), "b": P("model")},
         "mlp_proj": {"w": P("model", None), "b": P()},
     }
@@ -65,6 +65,36 @@ def gpt2_param_specs(cfg: ModelConfig) -> dict:
         "ln_f": {"g": P(), "b": P()},
         "layers": [jax.tree.map(lambda x: x, layer) for _ in range(cfg.num_layers)],
     }
+
+
+def permute_gpt2_qkv(params, cfg: ModelConfig, tp: int):
+    """Column-permute every c_attn [E, 3E] (and its bias) head-blockwise so
+    a plain P(None, "model") shard over `tp` shards receives its own heads'
+    [Q_s | K_s | V_s] contiguously. Pure relabeling: the TP block's local
+    third-split (tp_runtime._block_tp) is then exactly the single-device
+    Q/K/V split restricted to local heads."""
+    import numpy as np
+
+    E = cfg.num_heads * cfg.head_dim
+    hl = cfg.num_heads // tp
+    perm = []
+    for s in range(tp):
+        for seg in range(3):  # Q, K, V segments of this shard's heads
+            base = seg * E + s * hl * cfg.head_dim
+            perm.extend(range(base, base + hl * cfg.head_dim))
+    perm = np.asarray(perm)
+
+    def fix_layer(lp):
+        lp = dict(lp)
+        lp["c_attn"] = {
+            "w": jnp.asarray(lp["c_attn"]["w"])[:, perm],
+            "b": jnp.asarray(lp["c_attn"]["b"])[perm],
+        }
+        return lp
+
+    out = dict(params)
+    out["layers"] = [fix_layer(lp) for lp in params["layers"]]
+    return out
 
 
 def param_specs(cfg: ModelConfig) -> dict:
@@ -85,8 +115,11 @@ def cache_specs() -> dict:
 
 
 def shard_params(params, cfg: ModelConfig, mesh: Mesh):
-    """Place a param pytree onto the mesh with TP shardings."""
+    """Place a param pytree onto the mesh with TP shardings (GPT-2: after
+    the head-blockwise c_attn column permutation, see permute_gpt2_qkv)."""
     specs = param_specs(cfg)
+    if cfg.arch == "gpt2":
+        params = permute_gpt2_qkv(params, cfg, mesh.shape["model"])
 
     def place(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))

@@ -17,7 +17,9 @@ next layer's local compute; the fused dequant+ECC-decode+attention kernel is
 purely local. The LM head is vocab-sharded with a final all-gather.
 
 Supports the llama family (the multi-chip targets: Mistral-7B,
-LLaMA-3.1-8B). GPT-2 (124M) is a single-chip model; use models/runtime.py.
+LLaMA-3.1-8B) AND GPT-2: its packed c_attn is column-permuted
+head-blockwise at shard time (sharding.permute_gpt2_qkv) so attention is
+fully tensor-parallel despite the fused Q|K|V weight layout.
 """
 
 from __future__ import annotations
@@ -36,7 +38,13 @@ from ..kernels import swar
 from ..kernels.paged_attention import paged_attention_ecc_write_attend
 from ..models.config import ModelConfig
 from ..models.kv_policy import KVCachePolicy, decode_kv, encode_kv, pack_kv
-from ..models.layers import apply_rope, causal_attention, rms_norm, rope_frequencies
+from ..models.layers import (
+    apply_rope,
+    causal_attention,
+    layer_norm,
+    rms_norm,
+    rope_frequencies,
+)
 from ..models.runtime import _use_scrub as use_scrub
 from ..models.runtime import _write_tokens
 from .sharding import cache_specs, param_specs
@@ -65,12 +73,25 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     B, S, E = x.shape
     H, Hkv, D = cfgl.num_heads, cfgl.num_kv_heads, cfgl.head_dim
 
-    h = rms_norm(x, lp["input_norm"], cfgl.rms_norm_eps)
-    q = (h @ lp["q_proj"]).reshape(B, S, H, D)
-    k = (h @ lp["k_proj"]).reshape(B, S, Hkv, D)
-    v = (h @ lp["v_proj"]).reshape(B, S, Hkv, D)
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+    if cfgl.arch == "gpt2":
+        # c_attn was column-permuted at shard time (sharding.py:
+        # permute_gpt2_qkv) so this shard's slice is [Q_s | K_s | V_s] -
+        # a plain local third-split recovers its heads' projections
+        h = layer_norm(
+            x, lp["ln_1"]["g"], lp["ln_1"]["b"], cfgl.layer_norm_eps
+        )
+        qkv = h @ lp["c_attn"]["w"] + lp["c_attn"]["b"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, D)
+        k = k.reshape(B, S, Hkv, D)
+        v = v.reshape(B, S, Hkv, D)
+    else:
+        h = rms_norm(x, lp["input_norm"], cfgl.rms_norm_eps)
+        q = (h @ lp["q_proj"]).reshape(B, S, H, D)
+        k = (h @ lp["k_proj"]).reshape(B, S, Hkv, D)
+        v = (h @ lp["v_proj"]).reshape(B, S, Hkv, D)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
 
     kk, vk = _layer_kv_key(policy, layer_idx, step_key)
     # decorrelate injection across model shards
@@ -151,6 +172,18 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
         )
 
     attn = attn.reshape(B, S, H * D)
+    if cfgl.arch == "gpt2":
+        # row-sharded c_proj: psum partial products, add the (replicated)
+        # bias once after the reduction
+        x = x + jax.lax.psum(attn @ lp["c_proj"]["w"], "model") + lp["c_proj"]["b"]
+        h = layer_norm(
+            x, lp["ln_2"]["g"], lp["ln_2"]["b"], cfgl.layer_norm_eps
+        )
+        h = jax.nn.gelu(
+            h @ lp["c_fc"]["w"] + lp["c_fc"]["b"], approximate=True
+        )
+        x = x + jax.lax.psum(h @ lp["mlp_proj"]["w"], "model") + lp["mlp_proj"]["b"]
+        return x, state
     # row-sharded o_proj: partial sums -> psum over the model axis
     attn_out = jax.lax.psum(attn @ lp["o_proj"], "model")
     x = x + attn_out
@@ -161,7 +194,20 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     return x, state
 
 
+def _embed_tp(params, ids, positions, cfg: ModelConfig):
+    if cfg.arch == "gpt2":
+        return (params["wte"][ids] + params["wpe"][positions]).astype(
+            jnp.dtype(cfg.dtype)
+        )
+    return params["embed"][ids].astype(jnp.dtype(cfg.dtype))
+
+
 def _lm_head_tp(params, x, cfgl: ModelConfig):
+    if cfgl.arch == "gpt2":
+        x = layer_norm(
+            x, params["ln_f"]["g"], params["ln_f"]["b"], cfgl.layer_norm_eps
+        )
+        return (x @ params["wte"].T.astype(x.dtype)).astype(jnp.float32)
     x = rms_norm(x, params["final_norm"], cfgl.rms_norm_eps)
     if cfgl.tie_word_embeddings:
         # embed replicated -> logits full on every shard
@@ -181,8 +227,8 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
     block_size % 128 == 0 on real TPUs (token-minor lane alignment) - smaller
     values only work in the CPU interpreter.
     """
-    if cfg.arch != "llama":
-        raise NotImplementedError("TP runtime supports the llama family")
+    if cfg.arch not in ("llama", "gpt2"):
+        raise NotImplementedError(f"TP runtime does not support '{cfg.arch}'")
     tp = mesh.shape["model"]
     dp = mesh.shape["data"]
     cfgl = _local_cfg(cfg, tp)
@@ -225,7 +271,7 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
                        true_len):
         B, S = ids.shape
         positions = jnp.broadcast_to(jnp.arange(S), (B, S))
-        x = params["embed"][ids].astype(jnp.dtype(cfg.dtype))
+        x = _embed_tp(params, ids, positions, cfg)
         inv_freq = inv_freq_fn()
         for i, lp in enumerate(params["layers"]):
             x, state = _block_tp(
@@ -242,7 +288,7 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         B = tokens.shape[0]
         pos = state["context_len"]
         positions = pos[:, None]
-        x = params["embed"][tokens[:, None]].astype(jnp.dtype(cfg.dtype))
+        x = _embed_tp(params, tokens[:, None], positions, cfg)
         inv_freq = inv_freq_fn()
         for i, lp in enumerate(params["layers"]):
             x, state = _block_tp(
