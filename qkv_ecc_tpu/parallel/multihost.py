@@ -138,6 +138,20 @@ def generate_tp_multihost(
     return np.concatenate([np.asarray(input_ids), np.asarray(full)], axis=1)
 
 
+def serve_demo_requests(vocab_size: int):
+    """The deterministic request stream used by the multi-host serving demo
+    AND its single-process oracle (tests/test_multihost.py): more requests
+    than batch slots, mixed prompt lengths, so the run exercises staggered
+    admission and page recycling across hosts."""
+    from ..serving import Request
+
+    rng = np.random.default_rng(23)
+    return [
+        Request(i, rng.integers(0, vocab_size, (n,)), max_new_tokens=m)
+        for i, (n, m) in enumerate([(7, 5), (13, 4), (5, 6), (9, 3)])
+    ]
+
+
 def _demo(args):
     """2-process verification demo: tiny llama, golay cache at BER 1e-2."""
     import dataclasses
@@ -153,17 +167,39 @@ def _demo(args):
     cfg = dataclasses.replace(TINY_LLAMA, name="multihost-demo")
     params = init_params(cfg, 0)  # same seed on every process
     policy = policy_for_mode(args.mode, ber=args.ber, seed=42)
-    rng = np.random.default_rng(11)
-    prompt = rng.integers(0, cfg.vocab_size, (jax.process_count(), 9))
     mesh = multihost_mesh(model=args.model_axis)
-    out = generate_tp_multihost(
-        params, prompt, cfg, policy, mesh,
-        max_new_tokens=args.max_new_tokens, block_size=args.block_size,
-    )
     print(
         f"proc {jax.process_index()}/{jax.process_count()} "
         f"mesh data={mesh.shape['data']} model={mesh.shape['model']}",
         flush=True,
+    )
+
+    if args.serve:
+        # continuous batching across hosts: every process runs the identical
+        # scheduler loop; tokens are allgathered once per step
+        from ..serving import MultihostTPContinuousBatchingServer
+
+        server = MultihostTPContinuousBatchingServer(
+            params, cfg, policy, mesh,
+            max_batch=2, max_seq_len=64, block_size=args.block_size,
+            prefill_bucket=16,
+        )
+        for req in serve_demo_requests(cfg.vocab_size):
+            server.add_request(req)
+        outputs = sorted(server.run(), key=lambda o: o.request_id)
+        for o in outputs:
+            print(
+                f"REQ {o.request_id} "
+                + ",".join(str(int(t)) for t in o.token_ids),
+                flush=True,
+            )
+        return
+
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, cfg.vocab_size, (jax.process_count(), 9))
+    out = generate_tp_multihost(
+        params, prompt, cfg, policy, mesh,
+        max_new_tokens=args.max_new_tokens, block_size=args.block_size,
     )
     print("TOKENS " + ",".join(str(int(t)) for t in out.reshape(-1)),
           flush=True)
@@ -182,4 +218,7 @@ if __name__ == "__main__":
     ap.add_argument("--ber", type=float, default=1e-2)
     ap.add_argument("--max-new-tokens", type=int, default=6)
     ap.add_argument("--block-size", type=int, default=16)
+    ap.add_argument("--serve", action="store_true",
+                    help="run the multi-host continuous-batching server "
+                         "demo instead of plain generation")
     _demo(ap.parse_args())

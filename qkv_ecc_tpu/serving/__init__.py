@@ -12,11 +12,15 @@ from .scheduler import (
     Request,
     RequestOutput,
 )
-from .tp_server import TPContinuousBatchingServer
+from .tp_server import (
+    MultihostTPContinuousBatchingServer,
+    TPContinuousBatchingServer,
+)
 
 __all__ = [
     "ContinuousBatchingServer",
     "TPContinuousBatchingServer",
+    "MultihostTPContinuousBatchingServer",
     "Request",
     "RequestOutput",
 ]

@@ -90,3 +90,59 @@ class TPContinuousBatchingServer(ContinuousBatchingServer):
             self._tp_params, tokens, self.state, block_table, key
         )
         return logits
+
+
+class MultihostTPContinuousBatchingServer(TPContinuousBatchingServer):
+    """Continuous batching across HOSTS (multi-controller SPMD).
+
+    Every process runs the IDENTICAL server loop (same request stream, same
+    host-side scheduler decisions) over a global ("data", "model") mesh whose
+    data axis spans the hosts (parallel/multihost.py). Jitted prefill/decode
+    steps execute collectively; the only cross-host synchronization beyond
+    XLA's own collectives is one `process_allgather` of the sampled token
+    vector per step, which keeps the host-side bookkeeping (admission,
+    finish detection, page recycling) bit-identical on every process.
+
+    Two hazards of the single-process loop are removed here:
+      * `_run_prefill` returns the FULL data-axis logits row block instead of
+        slicing row 0 - a row slice of a data-sharded array is not
+        addressable from processes that don't hold that shard.
+      * `_pick_tokens` never converts a sharded array with np.asarray; it
+        samples on device and allgathers the small [batch] token vector.
+
+    No reference counterpart (the reference is single-GPU, SURVEY.md §2.9);
+    this is the "continuous batching across hosts" north-star item.
+    """
+
+    def _run_prefill(self, ids, row, key, logit_pos, true_len):
+        # same admission prefill as the TP server, EXCEPT the result is the
+        # full [data, vocab] logits block - no row slice (the caller only
+        # reads row 0, which _pick_tokens' allgather makes identical on
+        # every process)
+        B = ids.shape[0]
+        ids_p = jnp.concatenate(
+            [ids] + [jnp.zeros_like(ids)] * (self.dp - B), axis=0
+        )
+        rows_p = jnp.concatenate(
+            [jnp.maximum(row, 0)] + [jnp.zeros_like(row)] * (self.dp - B),
+            axis=0,
+        )
+        lp = jnp.concatenate([logit_pos, jnp.zeros((self.dp - B,), jnp.int32)])
+        tl = jnp.concatenate([true_len, jnp.zeros((self.dp - B,), jnp.int32)])
+        self.state["context_len"] = jnp.zeros((self.dp,), jnp.int32)
+        logits, self.state = self._tp_prefill(
+            self._tp_params, ids_p, self.state, rows_p, key, lp, tl
+        )
+        return logits
+
+    def _pick_tokens(self, logits, requests_by_row):
+        from jax.experimental import multihost_utils
+
+        temps = np.zeros(logits.shape[0], np.float32)
+        for r, req in requests_by_row.items():
+            temps[r] = req.temperature
+        self._sample_key, sub = jax.random.split(self._sample_key)
+        sampled = self._sample(logits, jnp.asarray(temps), sub)
+        return np.asarray(
+            multihost_utils.process_allgather(sampled, tiled=True)
+        )

@@ -76,3 +76,56 @@ def test_two_process_generation_matches_single_process():
                  max_new_tokens=6, block_size=16)
     )
     assert toks[0] == [int(t) for t in want.reshape(-1)]
+
+
+def test_two_process_serving_matches_single_process():
+    """Continuous batching ACROSS HOSTS: two processes run the identical
+    scheduler loop over a global (data=2 hosts, model=2) mesh, with one
+    token-vector allgather per step. Every process must produce the same
+    finished streams, and they must match the single-process TP server on
+    an equally-shaped in-process mesh."""
+    port = _free_port()
+    procs = [_spawn(i, 2, port, extra=("--serve", "--model-axis", "2"))
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=800)
+        assert p.returncode == 0, out[-3000:]
+        outs.append(out)
+
+    streams = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("REQ ")]
+        assert len(lines) == 4, out[-3000:]
+        streams.append(lines)
+    # multi-controller SPMD: identical scheduler decisions + tokens
+    assert streams[0] == streams[1]
+
+    # single-process oracle: same server config over an in-process 2x2 mesh
+    import jax
+    from qkv_ecc_tpu.models.config import TINY_LLAMA
+    from qkv_ecc_tpu.models.kv_policy import policy_for_mode
+    from qkv_ecc_tpu.models.registry import init_params
+    from qkv_ecc_tpu.parallel.multihost import serve_demo_requests
+    from qkv_ecc_tpu.serving import TPContinuousBatchingServer
+    from jax.sharding import Mesh
+
+    cfg = dataclasses.replace(TINY_LLAMA, name="multihost-demo")
+    params = init_params(cfg, 0)
+    policy = policy_for_mode("int12-golay", ber=1e-2, seed=42)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+    server = TPContinuousBatchingServer(
+        params, cfg, policy, mesh,
+        max_batch=2, max_seq_len=64, block_size=16, prefill_bucket=16,
+    )
+    for req in serve_demo_requests(cfg.vocab_size):
+        server.add_request(req)
+    want = {
+        o.request_id: [int(t) for t in o.token_ids]
+        for o in server.run()
+    }
+    got = {}
+    for line in streams[0]:
+        _, rid, toks = line.split(" ", 2)
+        got[int(rid)] = [int(t) for t in toks.split(",")]
+    assert got == want
