@@ -195,6 +195,22 @@ def _demo(args):
             )
         return
 
+    if args.bench_steps:
+        # multi-host tier of the scaling measurement (benchmarks/scaling.py):
+        # every process runs the identical timed loop; the printed global
+        # tokens/s is the cross-host serving rate
+        import json as _json
+
+        from ..benchmarks.scaling import measure_tp_mesh
+
+        row = measure_tp_mesh(
+            cfg, policy, mesh=mesh, batch_per_data=args.bench_batch_per_data,
+            prompt_len=64, steps=args.bench_steps,
+            block_size=args.block_size, tier=f"multihost-{args.num_processes}p",
+        )
+        print("BENCH " + _json.dumps(row), flush=True)
+        return
+
     rng = np.random.default_rng(11)
     prompt = rng.integers(0, cfg.vocab_size, (jax.process_count(), 9))
     out = generate_tp_multihost(
@@ -221,4 +237,9 @@ if __name__ == "__main__":
     ap.add_argument("--serve", action="store_true",
                     help="run the multi-host continuous-batching server "
                          "demo instead of plain generation")
+    ap.add_argument("--bench-steps", type=int, default=0,
+                    help="time this many TP decode steps across hosts and "
+                         "print a scaling-measurement row instead of "
+                         "generating")
+    ap.add_argument("--bench-batch-per-data", type=int, default=4)
     _demo(ap.parse_args())

@@ -164,3 +164,29 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestScalingHarness:
+    """benchmarks/scaling.py: the tokens/s-across-mesh-shapes measurement
+    (north-star scaling tiers) runs end-to-end and reports sane rows."""
+
+    def test_rows_and_weak_scaling_annotation(self):
+        from qkv_ecc_tpu.benchmarks.scaling import (
+            measure_tp_mesh, scaling_efficiency,
+        )
+        from qkv_ecc_tpu.models.config import TINY_LLAMA
+        from qkv_ecc_tpu.models.kv_policy import policy_for_mode
+
+        policy = policy_for_mode("int4-hamming84", ber=1e-2, seed=42)
+        rows = [
+            measure_tp_mesh(
+                TINY_LLAMA, policy, data=d, model=1, batch_per_data=2,
+                prompt_len=32, steps=3, block_size=16, warmup=1,
+            )
+            for d in (1, 2)
+        ]
+        rows = scaling_efficiency(rows)
+        assert rows[0]["batch"] == 2 and rows[1]["batch"] == 4
+        assert all(r["tokens_per_s"] > 0 for r in rows)
+        assert rows[0]["weak_scaling_efficiency"] == 1.0
+        assert "weak_scaling_efficiency" in rows[1]
