@@ -664,7 +664,7 @@ def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
                      "collect_stats", "read_inject_ber", "sliding_window",
-                     "return_softmax_state"),
+                     "return_softmax_state", "scrub"),
 )
 def paged_attention_ecc(
     query,
@@ -688,6 +688,7 @@ def paged_attention_ecc(
     read_inject_seed=0,
     sliding_window: int | None = None,
     return_softmax_state: bool = False,
+    scrub: bool = False,
 ):
     """Decode-phase fused paged attention with inline ECC decode.
 
@@ -802,6 +803,7 @@ def paged_attention_ecc(
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
         sliding_window=sliding_window,
         return_softmax_state=return_softmax_state,
+        scrub=scrub,
     )
 
     outs = pl.pallas_call(

@@ -93,6 +93,39 @@ def test_scrub_cleans_cache(tiny):
     assert (np.where(mask, cnt, 0) == 0).all(), "written page has errors"
 
 
+@pytest.mark.parametrize("codec", ["hamming74", "hamming84", "golay"])
+def test_readonly_kernel_scrub_extract_matches_decode(codec):
+    """paged_attention_ecc(scrub=True) (extract-only fast path) is bitwise
+    equal to the full-decode path on a cache of VALID codewords (the
+    post-scrub invariant)."""
+    from qkv_ecc_tpu.benchmarks.harness import build_decode_attention_case
+    from qkv_ecc_tpu.kernels import swar
+    from qkv_ecc_tpu.kernels.paged_attention import paged_attention_ecc
+
+    q, cache, bt, ctx, cfg = build_decode_attention_case(
+        batch=2, num_q_heads=4, num_kv_heads=2, head_dim=32,
+        context_len=48, block_size=16, codec=codec, seed=5,
+    )
+
+    def scrubbed(packed):
+        cw = swar.unpack_codewords(codec, packed, cfg.head_dim, axis=3)
+        return swar.pack_codewords(
+            codec, swar.scrub_codewords(codec, cw), cfg.head_dim, axis=3
+        ).astype(packed.dtype)
+
+    kc, vc = scrubbed(cache["k_cache"]), scrubbed(cache["v_cache"])
+
+    def attn(scrub):
+        return np.asarray(
+            paged_attention_ecc(
+                q, kc, vc, cache["k_scales"], cache["v_scales"], bt, ctx, 0,
+                codec=codec, block_size=16, scrub=scrub,
+            )
+        )
+
+    np.testing.assert_array_equal(attn(True), attn(False))
+
+
 def test_scrub_serving_outputs_match(tiny):
     """Serving with scrub (stats off) produces the same tokens as the
     always-decode server."""
