@@ -14,13 +14,18 @@ TPU-native redesign of the reference's memory layout
     for free. The layer dimension is stacked on axis 0 of a single array per
     cache so one dynamic-slice selects a layer under jit.
   * Storage is BIT-PACKED int32 words (kernels/swar.py): int4 8 values/word
-    (4.0 bits/value), hamming74 bit-sliced 7 planes (7.0), hamming84 4 byte
-    codewords/word (8.0), golay 4 codewords / 3 words (8.0). The reference
-    stored one codeword per uint8/int32 element, wasting bit 7 of every
-    Hamming byte and 8/32 bits of every Golay word
+    (4.0 bits/value), hamming74 bit-sliced 7 planes (7.0), hamming84 data +
+    parity nibble halves (8.0), golay data nibbles + parity planes (8.0).
+    The reference stored one codeword per uint8/int32 element, wasting bit 7
+    of every Hamming byte and 8/32 bits of every Golay word
     (ecc_codecs/triton_kernels/config.py:41-70); round 1 of this framework
     did the same. Packing halves the unprotected-INT4 decode step's KV
     traffic and lets the fused kernel decode 4-32 values per VPU op.
+  * Rows are DATA-FIRST (kernels/swar.py module docstring): the int4-packed
+    data nibbles of every codec occupy the row's aligned word prefix, parity
+    after. Scrub-mode reads (the default) DMA and decode ONLY the prefix -
+    every protected codec's steady-state read streams exactly the bytes
+    unprotected INT4 streams, and the parity suffix never leaves HBM.
   * Scales are [num_blocks, num_kv_heads, block_size] fp32 (per token per
     head), matching the reference's per-position scale granularity.
 """

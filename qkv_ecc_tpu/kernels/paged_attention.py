@@ -72,17 +72,32 @@ def _i32(x):
     return x.astype(jnp.int32)
 
 
-def _golay_cw_tile(x):
-    """Byte-plane packed golay words [3G, bs] -> 24-bit codeword tile
-    [4G, bs]: one bitcast per byte plane (sublane expansion for free, see
-    swar.golay_pack4), then three shift-ors."""
-    G = x.shape[0] // 3
-    cw = None
-    for p in range(3):
-        b = _i32(pltpu.bitcast(x[p * G : (p + 1) * G], jnp.int8)) & 0xFF
-        b = b << (8 * p)
-        cw = b if cw is None else cw | b
-    return cw
+def _nib_rows(w):
+    """int4-packed words [Wd, bs] -> per-value nibble rows [8*Wd, bs]
+    (identity order): split the byte's lo/hi nibble halves, then ONE int8
+    bitcast expands byte slots to sublanes for free (swar.pack_int4)."""
+    lo, hi = swar.int4_split(_i32(w))
+    return _i32(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
+
+
+def _golay_cw_tile(x, head_dim):
+    """Data-first split golay row tile [W, bs] -> 24-bit codeword tile
+    [C4, bs] (swar.golay_split_pack layout). Correcting-path only - scrub
+    reads never rebuild codewords."""
+    W = x.shape[0]
+    c4 = 4 * W // 3
+    dw = swar.round_up(head_dim, 8) // 8
+    nib = _nib_rows(x[:dw])  # data values [0, 8*dw), identity
+    ptail = _nib_rows(x[dw : W - c4 // 4])  # [plo (C4), padding values]
+    plo, pads = ptail[:c4], ptail[c4:]
+    thirds = jnp.concatenate([nib, pads], axis=0)  # [3C4, bs]
+    d12 = (
+        thirds[0:c4]
+        | (thirds[2 * c4 : 3 * c4] << 4)
+        | (thirds[c4 : 2 * c4] << 8)
+    )
+    phi = _i32(pltpu.bitcast(x[W - c4 // 4 :], jnp.int8)) & 0xFF  # [C4, bs]
+    return d12 | (plo << 12) | (phi << 16)
 
 
 def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
@@ -104,13 +119,19 @@ def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
         # [lo; hi] int8 view = identity value order over [0, D)
         return fin(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
     if codec == "hamming84":
-        return fin(pltpu.bitcast(swar.h84_swar_correct_data(x), jnp.int8))
+        half = x.shape[0] // 2
+        lo, hi = swar.h84_rebuild_cw_words(x[:half], x[half:])
+        dec = jnp.concatenate(
+            [swar.h84_swar_correct_data(lo), swar.h84_swar_correct_data(hi)],
+            axis=0,
+        )
+        return fin(pltpu.bitcast(dec, jnp.int8))
     if codec == "hamming74":
         G = x.shape[0] // 7
         planes, _ = swar.h74_sliced_correct_planes(x, G)
         return fin(swar.h74_sliced_unpack_values(planes, G))
     if codec == "golay":
-        cw = _golay_cw_tile(x)
+        cw = _golay_cw_tile(x, head_dim)
         d12 = C.golay_correct_data_i32(cw, _B_MASKS)  # [C4, bs]
         # third-partitioned nibble planes stack along sublanes into
         # head-dim order (swar.golay_pack_thirds: thirds 0/1/2 live in
@@ -125,41 +146,33 @@ def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
 def _extract_kt_tile(codec, raw, head_dim, op_t, *, minus8):
     """Clean-page fast path: unpack WITHOUT correction (scrub mode).
 
-    After a page has been scrubbed (decoded once, corrected codewords
-    written back), every stored codeword is valid, so decode degenerates to
-    data-bit extraction: ~10 VPU ops per head-page vs ~250/codeword-lane
-    for the full Golay IMLD. This is what makes ECC 'patrol scrubbing'
-    (DRAM-controller style) pay: correct once at write, verify-free reads."""
+    After write-path scrubbing every stored codeword is valid, and the
+    data-first row split (kernels/swar.py) means the kernel only DMA'd the
+    int4-packed DATA prefix of each row - so every ECC codec's read path
+    IS the unprotected-int4 read path: same bytes streamed, same nibble
+    split, zero correction network. Parity stayed in HBM, untouched. This
+    is what makes ECC 'patrol scrubbing' (DRAM-controller style) pay:
+    correct once at write, verify-free reads."""
     z = 8 if minus8 else 0
 
     def fin(t):
         return (_i32(t[:head_dim]) - z).astype(op_t)
 
-    x = _i32(raw)
-    if codec == "hamming84":
-        # data nibbles sit in the low nibble of every byte slot
-        return fin(pltpu.bitcast(x & 0x0F0F0F0F, jnp.int8))
+    # the tile may be data-prefix-only (the usual scrub DMA) or a full row
+    # (fallback when data_words is not sublane-aligned): slice the prefix
+    dw = swar.data_words(codec, head_dim)
+    x = _i32(raw)[:dw]
+    if codec in ("int4", "hamming84", "golay"):
+        lo, hi = swar.int4_split(x)
+        return fin(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
     if codec == "hamming74":
-        G = x.shape[0] // 7
+        G = dw // 4  # data prefix: 4 bit-sliced data planes
         planes = [x[i * G : (i + 1) * G] for i in range(4)]
         return fin(swar.h74_sliced_unpack_values(planes, G))
-    if codec == "golay":
-        # One bitcast over ALL THREE byte planes: int8 rows [0,C4) = byte 0,
-        # [C4,2C4) = byte 1, [2C4,3C4) = byte 2 of each codeword. With the
-        # pack_thirds nibble order (thirds 0/1/2 in bits 0-3/8-11/4-7),
-        # `full & 0xF` rows [0, 2C4) are values [0, 2C4) in order and
-        # `(full >> 4) & 0xF` rows [0, C4) are values [2C4, 3C4) - both
-        # concat pieces land at sublane-ALIGNED offsets (0 and 88), unlike
-        # the three 44-row concats of the full-decode path.
-        c4 = 4 * (x.shape[0] // 3)
-        full = _i32(pltpu.bitcast(x, jnp.int8))
-        lo = full & 0xF
-        hi = (full >> 4) & 0xF
-        return fin(jnp.concatenate([lo[: 2 * c4], hi[:c4]], axis=0))
     raise ValueError(f"scrub fast path does not support codec '{codec}'")
 
 
-def _count_errors(codec, raw, valid_lanes):
+def _count_errors(codec, raw, valid_lanes, head_dim):
     """(corrected, detected) scalars for one packed page tile [W, bs],
     masked to valid context tokens (valid_lanes: [1, bs] int32 0/1).
 
@@ -172,9 +185,16 @@ def _count_errors(codec, raw, valid_lanes):
     if codec == "int4":
         return zero, zero
     if codec == "hamming84":
-        _, single, double = swar.h84_swar_decode(x)
-        corrected = jnp.sum(pc(single * valid_lanes), dtype=jnp.int32)
-        detected = jnp.sum(pc(double * valid_lanes), dtype=jnp.int32)
+        half = x.shape[0] // 2
+        corrected = detected = zero
+        for piece in swar.h84_rebuild_cw_words(x[:half], x[half:]):
+            _, single, double = swar.h84_swar_decode(piece)
+            corrected = corrected + jnp.sum(
+                pc(single * valid_lanes), dtype=jnp.int32
+            )
+            detected = detected + jnp.sum(
+                pc(double * valid_lanes), dtype=jnp.int32
+            )
         return corrected, detected
     if codec == "hamming74":
         G = x.shape[0] // 7
@@ -182,7 +202,7 @@ def _count_errors(codec, raw, valid_lanes):
         corrected = jnp.sum(pc(errmask * valid_lanes), dtype=jnp.int32)
         return corrected, zero
     if codec == "golay":
-        cw = _golay_cw_tile(x)
+        cw = _golay_cw_tile(x, head_dim)
         _, cnt = C.golay_decode_i32(cw, _B_MASKS, zero_uncorrectable=True)
         cnt = cnt * valid_lanes
         corrected = jnp.sum(jnp.where(cnt < 4, cnt, 0), dtype=jnp.int32)
@@ -195,7 +215,11 @@ class _ChunkCopy:
     """Async HBM->VMEM copy of one chunk (pages_per_chunk pages, all KV
     heads, K+V+scales) through a shared DMA semaphore. Mirrors the JAX
     paged_attention MultiPageAsyncCopyDescriptor pattern: descriptors are
-    reconstructed identically at issue and wait sites."""
+    reconstructed identically at issue and wait sites.
+
+    In scrub mode the K/V VMEM buffers are allocated data_words wide and
+    only the rows [0, data_words) of each page are copied - the parity
+    suffix never leaves HBM (data-first row order, kernels/swar.py)."""
 
     def __init__(self, refs, bufs, sem, block_tables_ref, b, layer, chunk,
                  slot, pages_per_chunk, max_pages, with_scales=True):
@@ -206,10 +230,12 @@ class _ChunkCopy:
             pidx = jnp.minimum(chunk * pages_per_chunk + i, max_pages - 1)
             phys = jnp.maximum(block_tables_ref[b, pidx], 0)
             for hbm, buf in zip(refs, bufs):
+                kv_w = buf.shape[3] if len(buf.shape) == 5 else None
+                src = hbm.at[layer, phys]
+                if kv_w is not None and kv_w < hbm.shape[3]:
+                    src = hbm.at[layer, phys, :, 0:kv_w]
                 self._copies.append(
-                    pltpu.make_async_copy(
-                        hbm.at[layer, phys], buf.at[slot, i], sem
-                    )
+                    pltpu.make_async_copy(src, buf.at[slot, i], sem)
                 )
 
     def start(self):
@@ -244,6 +270,7 @@ def _paged_attn_kernel(
     read_inject_threshold: int | None,
     sliding_window: int | None,
     scrub: bool = False,
+    parity_rmw: bool = False,
     return_softmax_state: bool = False,
 ):
     refs = list(refs)
@@ -267,11 +294,19 @@ def _paged_attn_kernel(
     else:
         k_buf, v_buf, ks_buf, vs_buf, sem = refs[:5]
         del refs[:5]
-    m_scr, l_scr, acc_scr = refs[:3]
+    m_scr = refs.pop(0)
+    l_scr = refs.pop(0)
+    acc_scr = refs.pop(0)
     # persists across the sequential chunk grid dim: the PRE-interpolation
     # decoded last column of each chunk, so the next chunk's first token
     # has its true left temporal neighbor (chunk-seam exactness)
-    edge_scr = refs[3] if (interpolate and codec == "hamming84") else None
+    edge_scr = (
+        refs.pop(0) if (interpolate and codec == "hamming84") else None
+    )
+    # scrub-mode fused write: staging tiles for the read-modify-write of
+    # the new token's page PARITY rows (see _write_token)
+    kp_buf = refs.pop(0) if parity_rmw else None
+    vp_buf = refs.pop(0) if parity_rmw else None
 
     b = pl.program_id(0)
     c = pl.program_id(1)
@@ -350,6 +385,9 @@ def _paged_attn_kernel(
             tok_lane = tok_idx % bs
             i_in_chunk = tok_page - c * pages_per_chunk
 
+            kv_w = k_buf.shape[3]  # data_words in scrub mode, else full row
+            full_w = k_hbm.shape[3]
+
             @pl.when((tok_page >= c * pages_per_chunk)
                      & (tok_page < (c + 1) * pages_per_chunk)
                      & (tok_page < max_pages))
@@ -360,6 +398,44 @@ def _paged_attn_kernel(
 
                     @pl.when(i_in_chunk == i)
                     def _overlay():
+                        phys = jnp.maximum(
+                            block_tables_ref[b, tok_page], 0
+                        )
+                        if kv_w < full_w:
+                            # scrub mode streamed only the data prefix, so
+                            # the new token's PARITY column is merged via a
+                            # read-modify-write of the token page's parity
+                            # rows. The copies are issued PER HEAD as 2-D
+                            # [pw, bs] descriptors: a single multi-head DMA
+                            # into a raw 3-D VMEM scratch hard-faults the
+                            # chip whenever the sublane dim is not a
+                            # multiple of 8 (v5e, minimal repro: [2,28,128]
+                            # and [2,33,128] crash the TPU worker; per-head
+                            # 2-D and 5-D-scratch-slice forms of the same
+                            # copy work). ~70 KB/step.
+                            pw = full_w - kv_w
+                            pin = [
+                                pltpu.make_async_copy(
+                                    hbm.at[layer, phys, h, pl.ds(kv_w, pw)],
+                                    buf.at[h], wsem,
+                                )
+                                for hbm, buf in ((k_hbm, kp_buf),
+                                                 (v_hbm, vp_buf))
+                                for h in range(num_kv_heads)
+                            ]
+                            for p in pin:
+                                p.start()
+                            for p in pin:
+                                p.wait()
+                            for h in range(num_kv_heads):
+                                kp_buf[h] = jnp.where(
+                                    is_tok, _i32(kn_ref[h, kv_w:]),
+                                    _i32(kp_buf[h]),
+                                ).astype(kp_buf.dtype)
+                                vp_buf[h] = jnp.where(
+                                    is_tok, _i32(vn_ref[h, kv_w:]),
+                                    _i32(vp_buf[h]),
+                                ).astype(vp_buf.dtype)
                         # kn_ref[h] is a native [W, 1] column. Mosaic
                         # broadcast-selects want 32-bit operands: int codecs
                         # store int32 natively; float codecs roundtrip
@@ -369,12 +445,12 @@ def _paged_attn_kernel(
                         for h in range(num_kv_heads):
                             k_buf[slot, i, h] = jnp.where(
                                 is_tok,
-                                kn_ref[h].astype(rt),
+                                kn_ref[h, :kv_w].astype(rt),
                                 k_buf[slot, i, h].astype(rt),
                             ).astype(k_buf.dtype)
                             v_buf[slot, i, h] = jnp.where(
                                 is_tok,
-                                vn_ref[h].astype(rt),
+                                vn_ref[h, :kv_w].astype(rt),
                                 v_buf[slot, i, h].astype(rt),
                             ).astype(v_buf.dtype)
                         wb_pairs = [(k_buf, ko_ref), (v_buf, vo_ref)]
@@ -389,15 +465,29 @@ def _paged_attn_kernel(
                                 is_tok, vsn_ref[0][:, None], vs_buf[slot, i]
                             )
                             wb_pairs += [(ks_buf, kso_ref), (vs_buf, vso_ref)]
-                        phys = jnp.maximum(
-                            block_tables_ref[b, tok_page], 0
-                        )
-                        wb = [
-                            pltpu.make_async_copy(
-                                buf.at[slot, i], out.at[layer, phys], wsem
+                        wb = []
+                        for buf, out in wb_pairs:
+                            dst = out.at[layer, phys]
+                            if len(buf.shape) == 5 and buf.shape[3] < full_w:
+                                dst = out.at[layer, phys, :, 0:kv_w]
+                            wb.append(
+                                pltpu.make_async_copy(
+                                    buf.at[slot, i], dst, wsem
+                                )
                             )
-                            for buf, out in wb_pairs
-                        ]
+                        if kv_w < full_w:
+                            pw = full_w - kv_w
+                            wb += [
+                                pltpu.make_async_copy(
+                                    buf.at[h],
+                                    out.at[layer, phys, h,
+                                           pl.ds(kv_w, pw)],
+                                    wsem,
+                                )
+                                for buf, out in ((kp_buf, ko_ref),
+                                                 (vp_buf, vo_ref))
+                                for h in range(num_kv_heads)
+                            ]
                         for w in wb:
                             w.start()
                         for w in wb:
@@ -469,7 +559,7 @@ def _paged_attn_kernel(
                             )
                         else:
                             cr, dt = _count_errors(
-                                codec, buf[slot, i, h], valid
+                                codec, buf[slot, i, h], valid, head_dim
                             )
                             corr_acc = corr_acc + cr
                             det_acc = det_acc + dt
@@ -566,13 +656,23 @@ def _paged_attn_kernel(
                 kd, ket, vd, vet = [], [], [], []
                 for i in range(pages_per_chunk):
                     for buf, dl, el in ((k_buf, kd, ket), (v_buf, vd, vet)):
-                        dec, _, double = swar.h84_swar_decode(
-                            _i32(buf[slot, i, h])
-                        )
-                        dl.append(_i32(pltpu.bitcast(dec, jnp.int8)))
-                        el.append(
-                            _i32(pltpu.bitcast(double * 0xFF, jnp.int8)) != 0
-                        )
+                        # data-first split rows: rebuild byte-slot codeword
+                        # words (lo = values [0, pv/2), hi = the rest), so
+                        # the [lo; hi] bitcast is identity-ordered like
+                        # _decode_kt_tile's hamming84 path
+                        x = _i32(buf[slot, i, h])
+                        half = x.shape[0] // 2
+                        decs, dbls = [], []
+                        for piece in swar.h84_rebuild_cw_words(
+                            x[:half], x[half:]
+                        ):
+                            dec, _, double = swar.h84_swar_decode(piece)
+                            decs.append(dec)
+                            dbls.append(double * 0xFF)
+                        dl.append(_i32(pltpu.bitcast(
+                            jnp.concatenate(decs, axis=0), jnp.int8)))
+                        el.append(_i32(pltpu.bitcast(
+                            jnp.concatenate(dbls, axis=0), jnp.int8)) != 0)
                 chunk_base = c * pages_per_chunk * bs
                 k_edge_prev = edge_scr[0, h][:, 0:1]
                 v_edge_prev = edge_scr[1, h][:, 0:1]
@@ -621,6 +721,32 @@ def _paged_attn_kernel(
             safe_l = jnp.where(l_fin > 0, l_fin, 1.0)
             out = jnp.where(l_fin > 0, acc_scr[:] / safe_l, 0.0)
             out_ref[:] = out.reshape(out_ref.shape).astype(out_ref.dtype)
+
+
+def _check_scrub_flags(scrub, codec, use_interpolation, collect_stats,
+                       read_inject_ber):
+    """Scrub mode streams/decodes only the data-first row prefix, so every
+    feature that must SEE parity bits (or raw-bit corruption) is rejected."""
+    if not scrub:
+        return
+    if codec not in ("int4", "hamming74", "hamming84", "golay"):
+        raise ValueError(f"scrub requires a packed-int codec, got '{codec}'")
+    if use_interpolation:
+        raise ValueError(
+            "scrub + interpolation is unsupported: scrubbing re-encodes "
+            "double-error data as valid codewords, which would erase "
+            "the doubles mask interpolation keys on"
+        )
+    if collect_stats:
+        raise ValueError(
+            "collect_stats counts corrections per READ (reference "
+            "get_ecc_stats semantics); disable scrub to collect them"
+        )
+    if read_inject_ber:
+        raise ValueError(
+            "read-time injection corrupts raw packed bits per attend; the "
+            "scrub fast path would not decode them - disable scrub"
+        )
 
 
 def _read_threshold(read_inject_ber: float, codec: str):
@@ -722,6 +848,18 @@ def paged_attention_ecc(
      sm_scale, cp, num_chunks) = _common_setup(
         query, k_cache, block_size, codec, num_pages, block_table, sm_scale,
         pages_per_chunk)
+    _check_scrub_flags(scrub, codec, use_interpolation, collect_stats,
+                       read_inject_ber)
+    # scrub-mode reads stream ONLY the data-first row prefix: the K/V VMEM
+    # buffers are data_words wide and the DMA descriptors slice the HBM
+    # pages accordingly (parity never leaves HBM)
+    kv_w = swar.data_words(codec, head_dim) if scrub else row_w
+    if kv_w % 8:
+        # chunk DMAs slice HBM page rows at sublane granularity; a width
+        # that is not a multiple of 8 sublanes hard-faults the chip (v5e,
+        # measured) - stream full rows and let the extract path slice the
+        # prefix in VMEM instead. Production head dims (64/128) are aligned.
+        kv_w = row_w
 
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
@@ -768,8 +906,8 @@ def paged_attention_ecc(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), k_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), v_cache.dtype),
             pltpu.VMEM((2, cp, num_kv_heads, block_size), k_scales.dtype),
             pltpu.VMEM((2, cp, num_kv_heads, block_size), v_scales.dtype),
             pltpu.SemaphoreType.DMA,
@@ -897,20 +1035,16 @@ def paged_attention_ecc_write_attend(
         query, k_cache, block_size, codec, num_pages, block_table, sm_scale,
         pages_per_chunk)
 
-    if scrub:
-        if codec not in ("hamming74", "hamming84", "golay"):
-            raise ValueError(f"scrub requires an ECC codec, got '{codec}'")
-        if use_interpolation:
-            raise ValueError(
-                "scrub + interpolation is unsupported: scrubbing re-encodes "
-                "double-error data as valid codewords, which would erase "
-                "the doubles mask interpolation keys on"
-            )
-        if collect_stats:
-            raise ValueError(
-                "collect_stats counts corrections per READ (reference "
-                "get_ecc_stats semantics); disable scrub to collect them"
-            )
+    _check_scrub_flags(scrub, codec, use_interpolation, collect_stats,
+                       read_inject_ber)
+    kv_w = swar.data_words(codec, head_dim) if scrub else row_w
+    if kv_w % 8:
+        # chunk DMAs slice HBM page rows at sublane granularity; a width
+        # that is not a multiple of 8 sublanes hard-faults the chip (v5e,
+        # measured) - stream full rows and let the extract path slice the
+        # prefix in VMEM instead. Production head dims (64/128) are aligned.
+        kv_w = row_w
+    parity_rmw = kv_w < row_w
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
     def q_map(b, c, layer, bt, cl):
@@ -975,8 +1109,8 @@ def paged_attention_ecc_write_attend(
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), k_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, row_w, block_size), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), v_cache.dtype),
             pltpu.VMEM((2, cp, num_kv_heads, block_size), k_scales.dtype),
             pltpu.VMEM((2, cp, num_kv_heads, block_size), v_scales.dtype),
             pltpu.SemaphoreType.DMA,
@@ -988,6 +1122,16 @@ def paged_attention_ecc_write_attend(
         + (
             [pltpu.VMEM((2, num_kv_heads, 4 * row_w, 128), jnp.int32)]
             if use_interpolation and codec == "hamming84"
+            else []
+        )
+        + (
+            [
+                pltpu.VMEM((num_kv_heads, row_w - kv_w, block_size),
+                           k_cache.dtype),
+                pltpu.VMEM((num_kv_heads, row_w - kv_w, block_size),
+                           v_cache.dtype),
+            ]
+            if parity_rmw
             else []
         ),
     )
@@ -1005,6 +1149,7 @@ def paged_attention_ecc_write_attend(
         group=group,
         precision=precision,
         fused_write=True,
+        parity_rmw=parity_rmw,
         interpolate=use_interpolation,
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),

@@ -6,16 +6,34 @@ single codeword). This module packs codewords densely into int32 storage
 words and decodes them with byte/bit-parallel arithmetic so every VPU op
 processes 4-32 values:
 
-  codec      packing                             physical bits/value
+  codec      packing (data-first rows)           physical bits/value
   --------   ---------------------------------   -------------------
   int4       8 nibbles / word                    4.0
-  hamming74  bit-sliced: 7 planes x 32 cw        7.0
-  hamming84  4 byte codewords / word (SWAR)      8.0
-  golay      4 x 24-bit cw / 3 words (quarters)  8.0
+  hamming74  bit-sliced: 4 data + 3 parity       7.0
+             planes x 32 cw
+  hamming84  data nibbles int4-packed, parity    8.0
+             nibbles int4-packed
+  golay      data nibbles int4-packed, parity    8.0 (24 bits/cw)
+             nibble-plane + byte-plane
 
 Contrast with the reference, which stored one codeword per uint8/int32
 element everywhere (ecc_codecs/triton_kernels/config.py:41-70 - bit 7 of
 every Hamming(7,4) byte wasted, 8 of 32 bits of every Golay word wasted).
+
+DATA-FIRST ROW ORDER (round-2 final): every codec's row stores the
+`data_words()` int4-style-packed data nibbles FIRST, parity after. Two
+hardware reasons, both measured on v5e:
+  * The per-head page tile the kernel DMAs must span a multiple of 8
+    sublanes (one int32 vreg row) or Mosaic pads/strides every page copy:
+    golay's original interleaved 33-word rows cost the full decode step
+    9.2 ms vs 6.2 ms for the identical kernel on 40-word-aligned rows.
+    The data prefix is 16 words for head_dim 128 - always aligned.
+  * With ECC patrol scrubbing (correct at write, extract-only reads) the
+    steady-state read path never touches parity, so the kernel streams
+    ONLY the aligned data prefix: every protected codec reads exactly the
+    bytes unprotected INT4 reads, and decode degenerates to the int4
+    nibble split. Parity planes stay in HBM and join the stream only on
+    correcting reads (scrub=False / stats / interpolation).
 
 Value <-> storage-lane mappings are chosen so that pltpu.bitcast's
 int32->int8 sublane interleave (sublane 4j+k of the int8 view = byte k of
@@ -23,21 +41,24 @@ word row j) unpacks decoded nibbles STRAIGHT into head-dim order - the fused
 attention kernel never runs a shift network or sublane concatenation to
 rebuild K^T:
 
-  int4       value v  <-> word v//4 % W ... see pack_int4: lo nibbles of the
-             byte hold values [0, D/2), hi nibbles [D/2, D); each bitcast
-             view is identity-ordered over its half.
-  hamming84  value v  <-> word v//4, byte v%4 (identity order after bitcast)
-  hamming74  value v  <-> plane word group v%G, bit position v//G
+  int4 /     value v <-> see pack_int4: lo nibbles of the byte hold values
+  data       [0, D/2), hi nibbles [D/2, D); each bitcast view is identity-
+  prefix     ordered over its half. hamming84 and golay store their DATA
+             nibbles in exactly this layout (scrub-mode reads are int4
+             reads); hamming84 parity nibbles mirror it in the parity half.
+  hamming74  value v  <-> plane word group v%G, bit position v//G; planes
+             ordered [d0..d3, p0..p2] - data-first already.
   golay      codeword c protects values (c, c+C4, c+2*C4) - THIRD-
-             PARTITIONED over the padded codeword count C4, so the decoded
-             nibble planes concatenate along sublanes straight into
-             head-dim order (no shift network, no query permutation, and
-             the QK^T contraction stays a single 128-deep MXU pass after
-             slicing padding). Word packing is quarter-partitioned (quarter
-             q holds codewords [q*G4, (q+1)*G4)) so in-kernel unpack is 3
-             contiguous sublane slices. Protection statistics are identical
-             to the reference's adjacent triplets (ecc_shim.py:678) - any 3
-             values per 24-bit codeword; only the value mapping differs.
+             PARTITIONED over the padded codeword count C4 (the decoded
+             nibble planes of the correcting path concatenate along
+             sublanes into head-dim order, and the QK^T contraction stays a
+             single head_dim-deep MXU pass). Parity is stored after the
+             data prefix as a packed nibble plane (cw bits 12-15 + the
+             padding values beyond round_up(D,8)) and a byte plane (bits
+             16-23) - exact roundtrip, 24 stored bits per codeword.
+             Protection statistics are identical to the reference's
+             adjacent triplets (ecc_shim.py:678) - any 3 values per 24-bit
+             codeword; only the value mapping differs.
 
 All decode helpers are pure jnp on int32 tiles, callable inside Pallas
 kernels; all pack helpers run in XLA on the write path.
@@ -299,6 +320,77 @@ def golay_unpack4(w, axis=-1):
 
 
 # =============================================================================
+# Data-first split rows: hamming84 and golay (see module docstring)
+# =============================================================================
+
+
+def h84_split_pack(cw, axis=-1):
+    """[..., pv] 8-bit SECDED codewords -> [..., pv/4] int32 words,
+    DATA-FIRST: words [0, pv/8) = pack_int4 of the data nibbles, words
+    [pv/8, pv/4) = pack_int4 of the parity nibbles (cw >> 4)."""
+    cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
+    d = pack_int4(cw & 0xF, axis=-1)
+    p = pack_int4((cw >> 4) & 0xF, axis=-1)
+    return jnp.moveaxis(jnp.concatenate([d, p], axis=-1), -1, axis)
+
+
+def h84_split_unpack(w, axis=-1):
+    """Inverse of h84_split_pack: [..., W] -> [..., 4W] codewords."""
+    w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
+    half = w.shape[-1] // 2
+    d = unpack_int4(w[..., :half], axis=-1)
+    p = unpack_int4(w[..., half:], axis=-1)
+    return jnp.moveaxis(d | (p << 4), -1, axis)
+
+
+def h84_rebuild_cw_words(dw, pw):
+    """(data words, parity words) int32 [..., half] each -> byte-slot
+    codeword words (lo, hi): lo holds the codewords of values [0, pv/2),
+    hi of [pv/2, pv), both identity-ordered after an int8 bitcast. The
+    fused kernel's correcting path runs h84_swar_correct_data on each."""
+    lo = (dw & 0x0F0F0F0F) | ((pw & 0x0F0F0F0F) << 4)
+    hi = ((dw >> 4) & 0x0F0F0F0F) | (((pw >> 4) & 0x0F0F0F0F) << 4)
+    return lo, hi
+
+
+def golay_split_pack(cw, head_dim: int, axis=-1):
+    """[..., C4] 24-bit golay codewords -> [..., 3*C4/4] int32 words,
+    DATA-FIRST (W = 3*C4/4, exactly 24 stored bits per codeword):
+
+      words [0, rD/8)        pack_int4 of data nibbles for values
+                             [0, rD) in thirds order (rD = round_up(D, 8))
+      words [rD/8, W - C4/4) pack_int4 of [plo (C4 nibbles, cw bits
+                             12-15), data nibbles of padding values
+                             [rD, 3*C4)] - exact roundtrip incl. padding
+      words [W - C4/4, W)    byte plane of phi (cw bits 16-23)
+    """
+    cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
+    rd = round_up(head_dim, 8)
+    nib = golay_unpack_thirds(cw & 0xFFF, axis=-1)  # [..., 3C4] identity
+    d = pack_int4(nib[..., :rd], axis=-1)
+    ptail = jnp.concatenate([(cw >> 12) & 0xF, nib[..., rd:]], axis=-1)
+    p = pack_int4(ptail, axis=-1)
+    ph = pack_bytes4((cw >> 16) & 0xFF, axis=-1)
+    return jnp.moveaxis(jnp.concatenate([d, p, ph], axis=-1), -1, axis)
+
+
+def golay_split_unpack(w, head_dim: int, axis=-1):
+    """Inverse of golay_split_pack: [..., W] -> [..., 4W/3] codewords."""
+    w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
+    W = w.shape[-1]
+    c4 = 4 * W // 3
+    rd = round_up(head_dim, 8)
+    d_nib = unpack_int4(w[..., : rd // 8], axis=-1)  # [..., rD]
+    ptail = unpack_int4(w[..., rd // 8 : W - c4 // 4], axis=-1)
+    plo, padnib = ptail[..., :c4], ptail[..., c4:]
+    nib = jnp.concatenate([d_nib, padnib], axis=-1)  # [..., 3C4]
+    d12 = golay_pack_thirds(nib, axis=-1)
+    phi = unpack_bytes4(w[..., W - c4 // 4 :], axis=-1)
+    cw = d12 | (plo << 12) | (phi << 16)
+    return jnp.moveaxis(cw, -1, axis)
+
+
+# =============================================================================
 # Counter-hash Bernoulli flips (read-time injection inside kernels)
 # =============================================================================
 
@@ -352,7 +444,7 @@ def padded_values(codec: str, head_dim: int) -> int:
     if codec == "hamming74":
         return round_up(head_dim, 32)
     if codec == "hamming84":
-        return round_up(head_dim, 4)
+        return round_up(head_dim, 8)
     if codec == "golay":
         return 3 * round_up(-(-head_dim // 3), 4)
     return head_dim  # fp16 / fp8 store raw values
@@ -372,6 +464,18 @@ def row_words(codec: str, head_dim: int) -> int:
     return head_dim
 
 
+def data_words(codec: str, head_dim: int) -> int:
+    """int32 words of the row's DATA prefix - the only words a scrub-mode
+    read streams and decodes (data-first row order; always a multiple of
+    2 sublane-aligned int4-packed words for the ECC codecs at production
+    head dims, 16 words for head_dim 128)."""
+    if codec in ("int4", "hamming84", "golay"):
+        return round_up(head_dim, 8) // 8
+    if codec == "hamming74":
+        return 4 * round_up(head_dim, 32) // 32
+    return head_dim  # fp16 / fp8: the whole row is data
+
+
 def pack_codewords(codec: str, cw, head_dim: int, axis=-1):
     """Per-value codeword array -> packed int32 storage words.
 
@@ -384,9 +488,9 @@ def pack_codewords(codec: str, cw, head_dim: int, axis=-1):
     if codec == "hamming74":
         return h74_slice_pack(cw, axis=axis)
     if codec == "hamming84":
-        return pack_bytes4(cw, axis=axis)
+        return h84_split_pack(cw, axis=axis)
     if codec == "golay":
-        return golay_pack4(cw, axis=axis)
+        return golay_split_pack(cw, head_dim, axis=axis)
     raise ValueError(codec)
 
 
@@ -397,9 +501,9 @@ def unpack_codewords(codec: str, w, head_dim: int, axis=-1):
     if codec == "hamming74":
         return h74_slice_unpack(w, axis=axis)
     if codec == "hamming84":
-        return unpack_bytes4(w, axis=axis)
+        return h84_split_unpack(w, axis=axis)
     if codec == "golay":
-        return golay_unpack4(w, axis=axis)
+        return golay_split_unpack(w, head_dim, axis=axis)
     raise ValueError(codec)
 
 
