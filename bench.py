@@ -98,10 +98,17 @@ def main():
         # HBM-bandwidth accounting: weights stream once per step; the
         # fused kernel reads the full packed KV context (K+V+scales)
         from qkv_ecc_tpu.evaluation.models import estimate_param_count
-        from qkv_ecc_tpu.kernels.swar import row_words
+        from qkv_ecc_tpu.kernels.swar import (
+            data_words, row_words, scrub_extract_ok,
+        )
 
         n_params = estimate_param_count(cfg)
-        w = row_words(policy.codec, cfg.head_dim)
+        # scrub-mode reads stream only the data-first row prefix (the
+        # parity suffix never leaves HBM); always-decode streams full rows
+        if policy.scrub and scrub_extract_ok(policy.codec, cfg.head_dim):
+            w = data_words(policy.codec, cfg.head_dim)
+        else:
+            w = row_words(policy.codec, cfg.head_dim)
         itemsize = 4 if policy.codec not in ("fp16", "fp8") else (
             2 if policy.codec == "fp16" else 1)
         kv_bytes = (

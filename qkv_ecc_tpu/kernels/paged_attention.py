@@ -86,7 +86,7 @@ def _golay_cw_tile(x, head_dim):
     reads never rebuild codewords."""
     W = x.shape[0]
     c4 = 4 * W // 3
-    dw = swar.round_up(head_dim, 8) // 8
+    dw = swar.golay_data_nibbles(head_dim) // 8
     nib = _nib_rows(x[:dw])  # data values [0, 8*dw), identity
     ptail = _nib_rows(x[dw : W - c4 // 4])  # [plo (C4), padding values]
     plo, pads = ptail[:c4], ptail[c4:]
@@ -405,36 +405,35 @@ def _paged_attn_kernel(
                             # scrub mode streamed only the data prefix, so
                             # the new token's PARITY column is merged via a
                             # read-modify-write of the token page's parity
-                            # rows. The copies are issued PER HEAD as 2-D
-                            # [pw, bs] descriptors: a single multi-head DMA
-                            # into a raw 3-D VMEM scratch hard-faults the
-                            # chip whenever the sublane dim is not a
-                            # multiple of 8 (v5e, minimal repro: [2,28,128]
-                            # and [2,33,128] crash the TPU worker; per-head
-                            # 2-D and 5-D-scratch-slice forms of the same
-                            # copy work). ~70 KB/step.
+                            # rows. The scratch is [1, H, pw, bs] addressed
+                            # through .at[0]: a DMA whose VMEM operand is a
+                            # RAW multi-dim ref hard-faults the chip when
+                            # the sublane dim is not a multiple of 8 (v5e,
+                            # minimal repro: [2,28,128] / [2,33,128] HBM<->
+                            # VMEM copies crash the TPU worker; the same
+                            # copies through a leading-unit-dim slice, or
+                            # per-head 2-D, work). ~70 KB/step.
                             pw = full_w - kv_w
                             pin = [
                                 pltpu.make_async_copy(
-                                    hbm.at[layer, phys, h, pl.ds(kv_w, pw)],
-                                    buf.at[h], wsem,
+                                    hbm.at[layer, phys, :, pl.ds(kv_w, pw)],
+                                    buf.at[0], wsem,
                                 )
                                 for hbm, buf in ((k_hbm, kp_buf),
                                                  (v_hbm, vp_buf))
-                                for h in range(num_kv_heads)
                             ]
                             for p in pin:
                                 p.start()
                             for p in pin:
                                 p.wait()
                             for h in range(num_kv_heads):
-                                kp_buf[h] = jnp.where(
+                                kp_buf[0, h] = jnp.where(
                                     is_tok, _i32(kn_ref[h, kv_w:]),
-                                    _i32(kp_buf[h]),
+                                    _i32(kp_buf[0, h]),
                                 ).astype(kp_buf.dtype)
-                                vp_buf[h] = jnp.where(
+                                vp_buf[0, h] = jnp.where(
                                     is_tok, _i32(vn_ref[h, kv_w:]),
-                                    _i32(vp_buf[h]),
+                                    _i32(vp_buf[0, h]),
                                 ).astype(vp_buf.dtype)
                         # kn_ref[h] is a native [W, 1] column. Mosaic
                         # broadcast-selects want 32-bit operands: int codecs
@@ -479,14 +478,13 @@ def _paged_attn_kernel(
                             pw = full_w - kv_w
                             wb += [
                                 pltpu.make_async_copy(
-                                    buf.at[h],
-                                    out.at[layer, phys, h,
+                                    buf.at[0],
+                                    out.at[layer, phys, :,
                                            pl.ds(kv_w, pw)],
                                     wsem,
                                 )
                                 for buf, out in ((kp_buf, ko_ref),
                                                  (vp_buf, vo_ref))
-                                for h in range(num_kv_heads)
                             ]
                         for w in wb:
                             w.start()
@@ -853,7 +851,12 @@ def paged_attention_ecc(
     # scrub-mode reads stream ONLY the data-first row prefix: the K/V VMEM
     # buffers are data_words wide and the DMA descriptors slice the HBM
     # pages accordingly (parity never leaves HBM)
-    kv_w = swar.data_words(codec, head_dim) if scrub else row_w
+    # extract-only reads need every value in the data prefix; golay head
+    # dims like 33/60 violate that (swar.scrub_extract_ok) and read through
+    # the correcting decode path instead - observationally identical on a
+    # scrubbed cache, just without the extract speedup.
+    extract = scrub and swar.scrub_extract_ok(codec, head_dim)
+    kv_w = swar.data_words(codec, head_dim) if extract else row_w
     if kv_w % 8:
         # chunk DMAs slice HBM page rows at sublane granularity; a width
         # that is not a multiple of 8 sublanes hard-faults the chip (v5e,
@@ -941,7 +944,7 @@ def paged_attention_ecc(
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
         sliding_window=sliding_window,
         return_softmax_state=return_softmax_state,
-        scrub=scrub,
+        scrub=extract,
     )
 
     outs = pl.pallas_call(
@@ -1037,7 +1040,12 @@ def paged_attention_ecc_write_attend(
 
     _check_scrub_flags(scrub, codec, use_interpolation, collect_stats,
                        read_inject_ber)
-    kv_w = swar.data_words(codec, head_dim) if scrub else row_w
+    # extract-only reads need every value in the data prefix; golay head
+    # dims like 33/60 violate that (swar.scrub_extract_ok) and read through
+    # the correcting decode path instead - observationally identical on a
+    # scrubbed cache, just without the extract speedup.
+    extract = scrub and swar.scrub_extract_ok(codec, head_dim)
+    kv_w = swar.data_words(codec, head_dim) if extract else row_w
     if kv_w % 8:
         # chunk DMAs slice HBM page rows at sublane granularity; a width
         # that is not a multiple of 8 sublanes hard-faults the chip (v5e,
@@ -1126,9 +1134,9 @@ def paged_attention_ecc_write_attend(
         )
         + (
             [
-                pltpu.VMEM((num_kv_heads, row_w - kv_w, block_size),
+                pltpu.VMEM((1, num_kv_heads, row_w - kv_w, block_size),
                            k_cache.dtype),
-                pltpu.VMEM((num_kv_heads, row_w - kv_w, block_size),
+                pltpu.VMEM((1, num_kv_heads, row_w - kv_w, block_size),
                            v_cache.dtype),
             ]
             if parity_rmw
@@ -1154,7 +1162,7 @@ def paged_attention_ecc_write_attend(
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
         sliding_window=sliding_window,
-        scrub=scrub,
+        scrub=extract,
     )
 
     outs = pl.pallas_call(

@@ -353,6 +353,26 @@ def h84_rebuild_cw_words(dw, pw):
     return lo, hi
 
 
+def golay_data_nibbles(head_dim: int) -> int:
+    """Nibble count of the golay row's int4-packed data prefix: round_up
+    (head_dim, 8) when the padded value count allows it, else rounded DOWN
+    to the previous multiple of 8 (pv = 3*C4 can be smaller than
+    round_up(head_dim, 8), e.g. head_dim 33 -> pv 36 < 40, head_dim 60 ->
+    pv 60 < 64). The word arithmetic closes for any multiple of 8:
+    prefix rd/8 + ptail (4*C4 - rd)/8 + phi C4/4 = 3*C4/4 = row_words.
+    When rd < head_dim the prefix does not cover every value, so the scrub
+    extract fast path is unavailable (golay_prefix_covers_values)."""
+    pv = padded_values("golay", head_dim)
+    rd = round_up(head_dim, 8)
+    return rd if rd <= pv else pv - pv % 8
+
+
+def golay_prefix_covers_values(head_dim: int) -> bool:
+    """True iff values [0, head_dim) all live in the golay data prefix -
+    the precondition for the scrub extract-only read path."""
+    return golay_data_nibbles(head_dim) >= head_dim
+
+
 def golay_split_pack(cw, head_dim: int, axis=-1):
     """[..., C4] 24-bit golay codewords -> [..., 3*C4/4] int32 words,
     DATA-FIRST (W = 3*C4/4, exactly 24 stored bits per codeword):
@@ -365,7 +385,7 @@ def golay_split_pack(cw, head_dim: int, axis=-1):
       words [W - C4/4, W)    byte plane of phi (cw bits 16-23)
     """
     cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
-    rd = round_up(head_dim, 8)
+    rd = golay_data_nibbles(head_dim)
     nib = golay_unpack_thirds(cw & 0xFFF, axis=-1)  # [..., 3C4] identity
     d = pack_int4(nib[..., :rd], axis=-1)
     ptail = jnp.concatenate([(cw >> 12) & 0xF, nib[..., rd:]], axis=-1)
@@ -379,7 +399,7 @@ def golay_split_unpack(w, head_dim: int, axis=-1):
     w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
     W = w.shape[-1]
     c4 = 4 * W // 3
-    rd = round_up(head_dim, 8)
+    rd = golay_data_nibbles(head_dim)
     d_nib = unpack_int4(w[..., : rd // 8], axis=-1)  # [..., rD]
     ptail = unpack_int4(w[..., rd // 8 : W - c4 // 4], axis=-1)
     plo, padnib = ptail[..., :c4], ptail[..., c4:]
@@ -469,11 +489,25 @@ def data_words(codec: str, head_dim: int) -> int:
     read streams and decodes (data-first row order; always a multiple of
     2 sublane-aligned int4-packed words for the ECC codecs at production
     head dims, 16 words for head_dim 128)."""
-    if codec in ("int4", "hamming84", "golay"):
+    if codec == "golay":
+        return golay_data_nibbles(head_dim) // 8
+    if codec in ("int4", "hamming84"):
         return round_up(head_dim, 8) // 8
     if codec == "hamming74":
         return 4 * round_up(head_dim, 32) // 32
     return head_dim  # fp16 / fp8: the whole row is data
+
+
+def scrub_extract_ok(codec: str, head_dim: int) -> bool:
+    """True iff the scrub extract-only read path is available: every value
+    in [0, head_dim) must live in the row's int4-packed data prefix. Only
+    golay can violate this (golay_data_nibbles < head_dim for head dims
+    like 33 or 60); the kernel then keeps scrub write semantics but reads
+    through the correcting decode path - observationally identical on a
+    scrubbed cache, just without the extract speedup."""
+    if codec == "golay":
+        return golay_prefix_covers_values(head_dim)
+    return True
 
 
 def pack_codewords(codec: str, cw, head_dim: int, axis=-1):

@@ -1,0 +1,117 @@
+"""Data-first split row packing (kernels/swar.py) and the scrub read path's
+data-prefix streaming, including the full-row fallback for head dims whose
+data prefix is not a multiple of 8 int32 words (a DMA sublane-granularity
+hardware constraint; see paged_attention.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qkv_ecc_tpu.kernels import swar
+from qkv_ecc_tpu.kernels.paged_attention import (
+    paged_attention_ecc,
+    paged_attention_ecc_reference,
+)
+from tests.test_paged_attention import build_cache
+from qkv_ecc_tpu.cache.layout import ECCCacheConfig
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.mark.parametrize("head_dim", [33, 60, 64, 96, 128])
+@pytest.mark.parametrize("codec", ["hamming84", "golay", "hamming74"])
+def test_split_pack_roundtrip(codec, head_dim, rng):
+    """pack_codewords o unpack_codewords == identity on every stored bit
+    (incl. parity and padding values) for the data-first split layouts."""
+    pv = swar.padded_values(codec, head_dim)
+    n_cw = {"hamming84": pv, "hamming74": pv, "golay": 4 * swar.row_words(
+        codec, head_dim) // 3}[codec]
+    bits = {"hamming84": 8, "hamming74": 7, "golay": 24}[codec]
+    cw = jnp.asarray(
+        rng.integers(0, 1 << bits, (3, 5, n_cw)), jnp.int32
+    )
+    w = swar.pack_codewords(codec, cw, head_dim)
+    assert w.shape[-1] == swar.row_words(codec, head_dim)
+    back = swar.unpack_codewords(codec, w, head_dim)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(cw))
+
+
+def test_data_prefix_is_int4_packing(rng):
+    """The data-first contract: for every split codec, the first
+    data_words() of a packed row are exactly pack_int4 of the data
+    nibbles - the scrub read path depends on this bit-for-bit."""
+    head_dim = 128
+    q = jnp.asarray(rng.integers(0, 16, (4, head_dim)), jnp.int32)
+    int4_words = np.asarray(swar.pack_int4(q))
+    for codec in ("hamming84", "golay"):
+        cw = swar.encode_codewords(codec, q, head_dim)
+        w = np.asarray(swar.pack_codewords(codec, cw, head_dim))
+        dw = swar.data_words(codec, head_dim)
+        np.testing.assert_array_equal(w[..., :dw], int4_words, err_msg=codec)
+    # hamming74's data prefix is its 4 bit-sliced data planes
+    cw = swar.encode_codewords("hamming74", q, head_dim)
+    w = np.asarray(swar.pack_codewords("hamming74", cw, head_dim))
+    dw = swar.data_words("hamming74", head_dim)
+    planes = jnp.asarray(w[..., :dw]).reshape(4, 4, -1)  # [batch, plane, G]
+    vals = np.zeros((4, head_dim), np.int32)
+    G = dw // 4
+    for p in range(4):
+        for v in range(swar.padded_values("hamming74", head_dim)):
+            if v < head_dim:
+                bit = (np.asarray(planes)[:, p, v % G] >> (v // G)) & 1
+                vals[:, v] |= bit << p
+    np.testing.assert_array_equal(vals, np.asarray(q))
+
+
+def test_h84_rebuild_cw_words(rng):
+    """h84_rebuild_cw_words inverts the split: byte k of lo/hi holds the
+    full 8-bit codeword of value 4*word+k / pv/2 + that."""
+    pv = 8
+    cw = jnp.asarray(rng.integers(0, 256, (pv,)), jnp.int32)
+    w = swar.h84_split_pack(cw)
+    half = w.shape[-1] // 2
+    lo, hi = swar.h84_rebuild_cw_words(w[..., :half], w[..., half:])
+    got = np.concatenate(
+        [np.asarray(swar.unpack_bytes4(lo)), np.asarray(swar.unpack_bytes4(hi))]
+    )
+    np.testing.assert_array_equal(got, np.asarray(cw))
+
+
+@pytest.mark.parametrize("head_dim", [60, 96, 128])
+@pytest.mark.parametrize("codec", ["hamming74", "hamming84", "golay"])
+def test_scrub_read_kernel_any_head_dim(codec, head_dim, rng):
+    """Scrub-mode reads equal the correcting reference on a scrubbed cache.
+
+    head_dim=128 streams the aligned 16-word data prefix; head_dim=96 has a
+    12-word prefix (not a multiple of 8 sublanes - the DMA would fault on
+    hardware), exercising the full-row-streaming fallback whose extract
+    path slices the prefix in VMEM."""
+    cfg = ECCCacheConfig(
+        num_blocks=8, block_size=16, num_layers=1, num_kv_heads=2,
+        head_dim=head_dim, codec=codec,
+    )
+    cache, block_table, _ = build_cache(
+        rng, cfg, batch=2, context_lens=[23, 9], ber=2e-2, seed=5
+    )
+    # scrub the injected errors (write-path semantics)
+    for name in ("k_cache", "v_cache"):
+        cw = swar.unpack_codewords(codec, cache[name], head_dim, axis=3)
+        cache[name] = jnp.asarray(swar.pack_codewords(
+            codec, swar.scrub_codewords(codec, cw), head_dim, axis=3
+        ))
+    q = jnp.asarray(rng.normal(size=(2, 4, head_dim)).astype(np.float32))
+    ctx = jnp.asarray([23, 9], jnp.int32)
+    kw = dict(codec=codec, block_size=16)
+    out_scrub = paged_attention_ecc(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], block_table, ctx, 0,
+        precision="highest", scrub=True, **kw
+    )
+    out_ref = paged_attention_ecc_reference(
+        q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
+        cache["v_scales"], block_table, ctx, 0, **kw
+    )
+    assert float(jnp.max(jnp.abs(out_scrub - out_ref))) < 1e-4
