@@ -40,7 +40,6 @@ from ..codecs.algebra import ErrorType, GOLAY_B_ROW_MASKS
 from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
 from ..kernels.common import (
-    golay_decode_i32,
     hamming74_decode_i32,
     hamming84_decode_i32,
 )
@@ -284,8 +283,8 @@ def _attend_general(
             # reference's python-path semantics, golay_triton.py:267-271).
             # The syndrome-LUT oracle costs one 4096-entry gather per
             # codeword - far slower on the TPU VPU.
-            data12, cnt = golay_decode_i32(
-                raw.astype(jnp.int32), _B_MASKS, zero_uncorrectable=False
+            data12, cnt = swar.golay_decode_wide(
+                raw.astype(jnp.int32), zero_uncorrectable=False
             )
             stats["corrected"] = stats["corrected"] + jnp.sum(
                 jnp.where(cnt < 4, cnt, 0), dtype=jnp.int32

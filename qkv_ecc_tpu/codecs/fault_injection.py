@@ -39,10 +39,12 @@ def _flip_mask(key: jax.Array, shape, ber, n_bits: int, dtype) -> jax.Array:
             jnp.float32(2.0**32 - 1024),
         ).astype(jnp.uint32)
     flips = (draws < threshold).astype(jnp.int32)
-    mask = jnp.zeros(shape, dtype=jnp.int32)
-    for b in range(n_bits):
-        mask = mask | (flips[b] << b)
-    return mask
+    # disjoint bit planes: sum == or, and the vectorized [n_bits] shift
+    # keeps the dependency chain flat (the write path is latency-bound on
+    # tiny per-layer tensors during decode)
+    bits = jnp.arange(n_bits, dtype=jnp.int32).reshape(
+        (n_bits,) + (1,) * len(tuple(shape)))
+    return (flips << bits).sum(0)
 
 
 @partial(jax.jit, static_argnames=("ber", "n_bits"))

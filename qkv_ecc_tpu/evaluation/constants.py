@@ -143,6 +143,19 @@ MODELS = {
         "requires_auth": False,
         "chip": "v5e",
     },
+    # the headline-benchmark model (bench.py / scaling / system grid):
+    # random-init llama-class 0.9B, throughput is weight-content-independent
+    "bench-0.9b": {
+        "hf_id": None,
+        "config": "bench-0.9b",
+        "type": "llama",
+        "layers": 24,
+        "hidden_size": 2048,
+        "num_attention_heads": 16,
+        "num_kv_heads": 8,
+        "requires_auth": False,
+        "chip": "v5e",
+    },
     # byte-level model trained IN-CONTAINER (qkv_ecc_tpu/training/) so the
     # quality tables show real degradation; checkpoint via --checkpoint or
     # QKV_TINY_CHECKPOINT (default results/trained_tiny/checkpoint.npz)

@@ -565,8 +565,80 @@ def encode_codewords(codec: str, q, head_dim: int):
     if codec == "hamming84":
         return C.hamming84_encode_i32(q)
     if codec == "golay":
-        return C.golay_encode_i32(golay_pack_thirds(q), _B_MASKS)
+        return golay_encode_wide(golay_pack_thirds(q))
     raise ValueError(codec)
+
+
+def _bm_bcast(ndim):
+    """GOLAY B-row masks stacked on a leading candidate axis, broadcastable
+    against an ndim-rank codeword tensor."""
+    return jnp.asarray(_B_MASKS, jnp.int32).reshape((12,) + (1,) * ndim)
+
+
+_I12 = lambda ndim: jnp.arange(12, dtype=jnp.int32).reshape(  # noqa: E731
+    (12,) + (1,) * ndim)
+
+
+def golay_encode_wide(data12):
+    """12-bit data -> 24-bit codewords, candidate-axis-vectorized.
+
+    Identical math to common.golay_encode_i32 but the 12-row parity loop
+    runs as ONE set of ops on a leading [12] axis instead of 12 serial
+    iterations. The jnp WRITE path is latency-bound on tiny decode-step
+    tensors ([B, 1, Hkv, C] per layer, 24 strictly-serial layers), so a
+    ~12x shorter dependency chain is a direct step-time win; inside Pallas
+    kernels the per-lane serial form stays (vreg pressure dominates there).
+    """
+    bm, iv = _bm_bcast(data12.ndim), _I12(data12.ndim)
+    par = (jax.lax.population_count(data12[None] & bm) & 1) << iv
+    return data12 | (par.sum(0) << 12)
+
+
+def golay_decode_wide(cw, *, zero_uncorrectable):
+    """Arithmetic IMLD Golay decode, candidate-axis-vectorized.
+
+    Bit-identical to common.golay_decode_i32 (differential-tested over all
+    weight<=5 error patterns, tests/test_swar_split.py): the four
+    12-candidate loops become single ops on a leading [12] axis. The
+    within-stage first-hit select chains are replaced by sums, valid
+    because at most one candidate can hit per stage (B rows are pairwise
+    >= 6 apart, so pc(s^B_i) <= 2 excludes every other row).
+
+    Returns (data12, error_count 0-3 | 4).
+    """
+    pc = jax.lax.population_count
+    d = cw & 0xFFF
+    p = (cw >> 12) & 0xFFF
+    bm, iv = _bm_bcast(cw.ndim), _I12(cw.ndim)
+
+    s = ((pc(d[None] & bm) & 1) << iv).sum(0) ^ p
+    e1 = s << 12
+    ok1 = pc(s) <= 3
+
+    cand2 = s[None] ^ bm
+    hit2 = pc(cand2) <= 2
+    e2 = jnp.where(hit2, (1 << iv) | (cand2 << 12), 0).sum(0)
+    ok2 = hit2.any(0)
+
+    q = ((pc(s[None] & bm) & 1) << iv).sum(0)
+    e3 = q
+    ok3 = pc(q) <= 3
+
+    cand4 = q[None] ^ bm
+    hit4 = pc(cand4) <= 2
+    e4 = jnp.where(hit4, cand4 | (1 << (12 + iv)), 0).sum(0)
+    ok4 = hit4.any(0)
+
+    e = jnp.where(
+        ok1, e1, jnp.where(ok2, e2, jnp.where(ok3, e3, jnp.where(ok4, e4, 0)))
+    )
+    correctable = ok1 | ok2 | ok3 | ok4
+    data = (cw ^ e) & 0xFFF
+    if zero_uncorrectable:
+        data = jnp.where(correctable, data, 0)
+    else:
+        data = jnp.where(correctable, data, cw & 0xFFF)
+    return data, jnp.where(correctable, pc(e), 4)
 
 
 def scrub_codewords(codec: str, cw):
@@ -587,8 +659,8 @@ def scrub_codewords(codec: str, cw):
     if codec == "hamming84":
         return C.hamming84_encode_i32(C.hamming84_correct_data_i32(cw))
     if codec == "golay":
-        d12, _ = C.golay_decode_i32(cw, _B_MASKS, zero_uncorrectable=True)
-        return C.golay_encode_i32(d12, _B_MASKS)
+        d12, _ = golay_decode_wide(cw, zero_uncorrectable=True)
+        return golay_encode_wide(d12)
     raise ValueError(codec)
 
 
@@ -604,9 +676,7 @@ def decode_values(codec: str, cw, head_dim: int, *, zero_uncorrectable=False):
     elif codec == "hamming84":
         dec = C.hamming84_correct_data_i32(cw)
     elif codec == "golay":
-        d12, _ = C.golay_decode_i32(
-            cw, _B_MASKS, zero_uncorrectable=zero_uncorrectable
-        )
+        d12, _ = golay_decode_wide(cw, zero_uncorrectable=zero_uncorrectable)
         dec = golay_unpack_thirds(d12)
     else:
         raise ValueError(codec)

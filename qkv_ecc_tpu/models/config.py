@@ -130,6 +130,26 @@ TRAINED_TINY = ModelConfig(
     max_position_embeddings=512,
 )
 
+# The headline-benchmark model (bench.py, benchmarks/scaling.py,
+# fault_tolerance_benchmark --grid): llama-architecture ~0.9B that fits one
+# v5e chip in bf16 with room for batch-8 KV. Random weights (no network in
+# this environment) - throughput is weight-content-independent.
+BENCH_0_9B = ModelConfig(
+    name="bench-0.9b",
+    arch="llama",
+    vocab_size=32768,
+    hidden_size=2048,
+    num_layers=24,
+    num_heads=16,
+    num_kv_heads=8,
+    head_dim=128,
+    intermediate_size=5632,
+    max_position_embeddings=4096,
+    rope_theta=10000.0,
+    tie_word_embeddings=False,
+    dtype="bfloat16",
+)
+
 # Word-level trainable model (8k vocab): big enough dynamic range for the
 # catastrophic unprotected-INT4 demonstration (byte models cap PPL at 256)
 TRAINED_WORD = ModelConfig(
@@ -149,7 +169,7 @@ MODEL_CONFIGS = {
     c.name: c
     for c in (
         GPT2_124M, MISTRAL_7B, LLAMA31_8B, TINY_GPT2, TINY_LLAMA,
-        TRAINED_TINY, TRAINED_WORD,
+        TRAINED_TINY, TRAINED_WORD, BENCH_0_9B,
     )
 }
 

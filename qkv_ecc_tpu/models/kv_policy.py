@@ -24,7 +24,6 @@ from ..codecs.algebra import GOLAY_B_ROW_MASKS
 from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
 from ..kernels.common import (
-    golay_decode_i32,
     hamming74_decode_i32,
     hamming84_decode_i32,
 )
@@ -222,8 +221,8 @@ def decode_kv(enc, scale, policy: KVCachePolicy, *, head_dim: int,
         # arithmetic IMLD decode: the syndrome-LUT oracle (codecs.golay_decode)
         # costs one 4096-entry XLA gather per codeword - orders of magnitude
         # slower on the TPU VPU than the popcount/select chain
-        data12, cnt = golay_decode_i32(
-            enc.astype(jnp.int32), _B_MASKS, zero_uncorrectable=False
+        data12, cnt = swar.golay_decode_wide(
+            enc.astype(jnp.int32), zero_uncorrectable=False
         )
         corrected = jnp.sum(jnp.where(cnt < 4, cnt, 0), dtype=jnp.int32)
         detected = jnp.sum((cnt == 4).astype(jnp.int32), dtype=jnp.int32)

@@ -115,3 +115,41 @@ def test_scrub_read_kernel_any_head_dim(codec, head_dim, rng):
         cache["v_scales"], block_table, ctx, 0, **kw
     )
     assert float(jnp.max(jnp.abs(out_scrub - out_ref))) < 1e-4
+
+
+def test_golay_wide_matches_serial_exhaustively():
+    """golay_encode/decode_wide (the candidate-axis-vectorized jnp write-path
+    forms) are bit-identical to the per-lane serial IMLD in kernels/common.py
+    over ALL weight<=3 error patterns on 64 codewords plus random weight-4/5/6
+    patterns, in both zero_uncorrectable modes, including error counts."""
+    import itertools
+
+    from qkv_ecc_tpu.kernels.common import golay_decode_i32, golay_encode_i32
+
+    d = jnp.arange(4096, dtype=jnp.int32)
+    assert jnp.array_equal(
+        swar.golay_encode_wide(d), golay_encode_i32(d, swar._B_MASKS)
+    )
+
+    cws = np.asarray(golay_encode_i32(d[:64], swar._B_MASKS))
+    pats = [0]
+    for w in (1, 2, 3):
+        pats += [
+            sum(1 << b for b in c)
+            for c in itertools.combinations(range(24), w)
+        ]
+    g = np.random.default_rng(0)
+    for w in (4, 5, 6):
+        pats += [
+            sum(1 << b for b in g.choice(24, w, replace=False))
+            for _ in range(200)
+        ]
+    rx = jnp.asarray(
+        (cws[:, None] ^ np.asarray(pats, np.int64)[None, :])
+        .astype(np.int32).ravel()
+    )
+    for zu in (True, False):
+        dw, cw = swar.golay_decode_wide(rx, zero_uncorrectable=zu)
+        ds, cs = golay_decode_i32(rx, swar._B_MASKS, zero_uncorrectable=zu)
+        assert jnp.array_equal(dw, ds)
+        assert jnp.array_equal(cw, cs)
