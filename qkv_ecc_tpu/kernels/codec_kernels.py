@@ -31,9 +31,13 @@ _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 
 
 def _tile_call(kernel_fn, x, out_dtypes, extra_outs=0, sublanes=_SUBLANES):
-    """Run an elementwise kernel over a flattened, padded 2D view of x."""
-    orig_shape = x.shape
-    n = x.size
+    """Run an elementwise kernel over flattened, padded 2D view(s) of x.
+
+    x may be a single array or a tuple of same-shape arrays (multi-input
+    elementwise kernels, e.g. codeword + injection mask)."""
+    xs = x if isinstance(x, (tuple, list)) else (x,)
+    orig_shape = xs[0].shape
+    n = xs[0].size
     if n == 0:
         outs = [jnp.zeros(orig_shape, dt) for dt in out_dtypes]
         return outs[0] if len(outs) == 1 else tuple(outs)
@@ -41,9 +45,12 @@ def _tile_call(kernel_fn, x, out_dtypes, extra_outs=0, sublanes=_SUBLANES):
     cols = _LANES
     rows = C.cdiv(n, cols)
     rows_padded = C.round_up(max(rows, 1), 8)
-    flat = jnp.ravel(x)
-    flat = jnp.pad(flat, (0, rows_padded * cols - n))
-    x2d = flat.reshape(rows_padded, cols)
+    x2ds = tuple(
+        jnp.pad(jnp.ravel(a), (0, rows_padded * cols - n)).reshape(
+            rows_padded, cols
+        )
+        for a in xs
+    )
 
     bm = min(sublanes, rows_padded)
     grid = (C.cdiv(rows_padded, bm),)
@@ -56,6 +63,7 @@ def _tile_call(kernel_fn, x, out_dtypes, extra_outs=0, sublanes=_SUBLANES):
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            for _ in xs
         ],
         out_specs=tuple(
             pl.BlockSpec((bm, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -63,7 +71,7 @@ def _tile_call(kernel_fn, x, out_dtypes, extra_outs=0, sublanes=_SUBLANES):
         ),
         out_shape=out_shapes,
         interpret=C.use_interpret(),
-    )(x2d)
+    )(*x2ds)
     if not isinstance(outs, (tuple, list)):
         outs = (outs,)
     results = tuple(o.reshape(-1)[:n].reshape(orig_shape) for o in outs)
@@ -166,6 +174,36 @@ def golay_decode_packed_tpu(codewords):
     """
     return _tile_call(
         _golay_decode_kernel, jnp.asarray(codewords, jnp.int32), [jnp.int32, jnp.int32],
+        sublanes=64,
+    )
+
+
+def _golay_write_scrub_kernel(d_ref, m_ref, out_ref):
+    cw = C.golay_encode_i32(d_ref[:] & 0xFFF, _B_MASKS) ^ m_ref[:]
+    out_ref[:] = C.golay_encode_i32(
+        C.golay_correct_data_i32(cw, _B_MASKS), _B_MASKS
+    )
+
+
+@jax.jit
+def golay_write_scrub_tpu(data12, flip_mask):
+    """Fused golay write-path transform in ONE Pallas launch:
+    encode -> XOR the injected fault mask -> IMLD data correction
+    (uncorrectable -> 0) -> re-encode, i.e.
+
+        scrub_codewords("golay", golay_encode_wide(data12) ^ flip_mask)
+
+    bit-for-bit (tests/test_codecs.py). Exists because the per-layer jnp
+    chain is FUSION-LAUNCH-bound on decode-step tensors ([B, 1, Hkv, C4]
+    per layer, 24 strictly serial layers): measured ~2.5-3 ms/step of pure
+    tiny-op overhead vs the unprotected int4 write chain, while this
+    kernel's ~300-op serial VPU chain runs in ~1-2 us per launch. The
+    threefry mask stays OUTSIDE (jnp flip_mask_for), so the injection
+    stream is identical to the unfused path."""
+    return _tile_call(
+        _golay_write_scrub_kernel,
+        (jnp.asarray(data12, jnp.int32), jnp.asarray(flip_mask, jnp.int32)),
+        [jnp.int32],
         sublanes=64,
     )
 

@@ -28,6 +28,7 @@ from ..kernels.common import (
     hamming84_decode_i32,
 )
 from ..kernels import swar
+from ..kernels.codec_kernels import golay_write_scrub_tpu
 
 _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 
@@ -161,6 +162,40 @@ def encode_kv(x, policy: KVCachePolicy, key):
         flips = jnp.sum(jax.lax.population_count(mask), dtype=jnp.int32)
         enc = enc ^ mask
     return enc, scale, flips
+
+
+def encode_kv_scrubbed(x, policy: KVCachePolicy, key):
+    """encode_kv + write-path scrub, fused where it matters.
+
+    Bit-identical to `swar.scrub_codewords(codec, encode_kv(x)[0])` (the
+    threefry mask stream is unchanged), but golay routes
+    encode -> inject-XOR -> IMLD correct -> re-encode through ONE Pallas
+    launch (kernels/codec_kernels.py:golay_write_scrub_tpu): the unfused
+    jnp chain is fusion-launch-bound on tiny per-layer decode-step tensors
+    ([B, 1, Hkv, C4] x 24 strictly serial layers), measured ~2.5-3 ms/step
+    of pure overhead vs the int4 write chain at bench shapes.
+
+    Returns (scrubbed codewords, scales).
+    """
+    codec = policy.codec
+    inject = (
+        policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
+    )
+    if codec == "golay":
+        x = jnp.asarray(x, jnp.float32)
+        q, scale = _quantize(x)
+        head_dim = x.shape[-1]
+        pv = swar.padded_values(codec, head_dim)
+        if pv - head_dim:
+            q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pv - head_dim)])
+        d12 = swar.golay_pack_thirds(q & 0xF)
+        if not inject:
+            # clean codewords scrub to themselves
+            return swar.golay_encode_wide(d12), scale
+        mask = flip_mask_for(key, d12.shape, policy.ber, N_BITS[codec])
+        return golay_write_scrub_tpu(d12, mask), scale
+    enc, scale, _ = encode_kv(x, policy, key)
+    return swar.scrub_codewords(codec, enc), scale
 
 
 def pack_kv(enc, policy: KVCachePolicy, head_dim: int):

@@ -32,7 +32,13 @@ from ..kernels.paged_attention import (
     paged_attention_ecc_write_attend,
 )
 from .config import ModelConfig
-from .kv_policy import KVCachePolicy, decode_kv, encode_kv, pack_kv
+from .kv_policy import (
+    KVCachePolicy,
+    decode_kv,
+    encode_kv,
+    encode_kv_scrubbed,
+    pack_kv,
+)
 from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
 
 FUSED_CODECS = ("int4", "hamming74", "hamming84", "golay", "fp16", "fp8")
@@ -258,11 +264,14 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
-        kc, ks, _ = encode_kv(k, policy, kk)
-        vc, vs, _ = encode_kv(v, policy, vk)
         if use_scrub:
-            kc = swar.scrub_codewords(policy.codec, kc)
-            vc = swar.scrub_codewords(policy.codec, vc)
+            # fused encode+inject+scrub (one Pallas launch for golay): the
+            # per-layer jnp chain is fusion-launch-bound at decode shapes
+            kc, ks = encode_kv_scrubbed(k, policy, kk)
+            vc, vs = encode_kv_scrubbed(v, policy, vk)
+        else:
+            kc, ks, _ = encode_kv(k, policy, kk)
+            vc, vs, _ = encode_kv(v, policy, vk)
         kc = pack_kv(kc, policy, cfg.head_dim)
         vc = pack_kv(vc, policy, cfg.head_dim)
         if ks is None:  # float codecs carry no dequant scales

@@ -37,7 +37,13 @@ from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
 from ..kernels import swar
 from ..kernels.paged_attention import paged_attention_ecc_write_attend
 from ..models.config import ModelConfig
-from ..models.kv_policy import KVCachePolicy, decode_kv, encode_kv, pack_kv
+from ..models.kv_policy import (
+    KVCachePolicy,
+    decode_kv,
+    encode_kv,
+    encode_kv_scrubbed,
+    pack_kv,
+)
 from ..models.layers import (
     apply_rope,
     causal_attention,
@@ -98,13 +104,19 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     shard = jax.lax.axis_index("model")
     kk = jax.random.fold_in(kk, shard)
     vk = jax.random.fold_in(vk, shard)
-    kc, ks, _ = encode_kv(k, policy, kk)
-    vc, vs, _ = encode_kv(v, policy, vk)
-    if use_scrub(policy):
-        kc_st = swar.scrub_codewords(policy.codec, kc)
-        vc_st = swar.scrub_codewords(policy.codec, vc)
+    if fused_attend and use_scrub(policy):
+        # decode hot path: fused encode+inject+scrub (one Pallas launch
+        # for golay - the unfused chain is fusion-launch-bound per layer)
+        kc_st, ks = encode_kv_scrubbed(k, policy, kk)
+        vc_st, vs = encode_kv_scrubbed(v, policy, vk)
     else:
-        kc_st, vc_st = kc, vc
+        kc, ks, _ = encode_kv(k, policy, kk)
+        vc, vs, _ = encode_kv(v, policy, vk)
+        if use_scrub(policy):
+            kc_st = swar.scrub_codewords(policy.codec, kc)
+            vc_st = swar.scrub_codewords(policy.codec, vc)
+        else:
+            kc_st, vc_st = kc, vc
     kcp = pack_kv(kc_st, policy, D)
     vcp = pack_kv(vc_st, policy, D)
     if ks is None:  # float codecs (fp16/fp8) carry no dequant scales

@@ -289,3 +289,48 @@ def test_hamming_correct_data_matches_full_decoder(rng):
     assert jnp.array_equal(d74, hamming74_correct_data_i32(all_bytes))
     d84, _ = hamming84_decode_i32(all_bytes)
     assert jnp.array_equal(d84, hamming84_correct_data_i32(all_bytes))
+
+
+def test_golay_write_scrub_kernel_matches_jnp_chain(rng):
+    """The fused write-path kernel (encode + inject-XOR + IMLD correct +
+    re-encode in one Pallas launch) is bit-identical to the unfused jnp
+    chain scrub_codewords(golay_encode_wide(d12) ^ mask), including
+    uncorrectable (-> zero codeword) and miscorrection cases (mask weights
+    up to ~6 at 12% per-bit density)."""
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.kernels import swar
+    from qkv_ecc_tpu.kernels.codec_kernels import golay_write_scrub_tpu
+
+    d12 = jnp.asarray(rng.integers(0, 4096, (4, 1, 8, 44)), jnp.int32)
+    bits = rng.random((4, 1, 8, 44, 24)) < 0.12
+    mask = jnp.asarray((bits << np.arange(24)).sum(-1), jnp.int32)
+    ref = swar.scrub_codewords("golay", swar.golay_encode_wide(d12) ^ mask)
+    assert jnp.array_equal(ref, golay_write_scrub_tpu(d12, mask))
+    # zero mask: scrub of clean codewords is the encode itself
+    zero = jnp.zeros_like(mask)
+    assert jnp.array_equal(
+        swar.golay_encode_wide(d12), golay_write_scrub_tpu(d12, zero)
+    )
+
+
+def test_encode_kv_scrubbed_matches_unfused(rng):
+    """encode_kv_scrubbed == scrub_codewords(encode_kv(...)) with the same
+    threefry mask stream, for every packed-int codec and BER incl. heavy
+    corruption."""
+    import jax
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.kernels import swar
+    from qkv_ecc_tpu.models.kv_policy import (
+        KVCachePolicy, encode_kv, encode_kv_scrubbed)
+
+    x = jnp.asarray(rng.standard_normal((4, 1, 8, 128)), jnp.float32)
+    for codec in ("golay", "hamming84", "hamming74"):
+        for ber in (0.0, 1e-2, 8e-2):
+            pol = KVCachePolicy(codec=codec, ber=ber, inject_errors=ber > 0,
+                                seed=42)
+            key = jax.random.key(7)
+            enc, sc, _ = encode_kv(x, pol, key)
+            got, sc2 = encode_kv_scrubbed(x, pol, key)
+            assert jnp.array_equal(swar.scrub_codewords(codec, enc), got), (
+                codec, ber)
+            assert jnp.array_equal(sc, sc2)
