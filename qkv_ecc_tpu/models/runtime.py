@@ -222,14 +222,9 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig,
     return logits, state
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "policy", "block_size", "collect_ecc_stats"),
-    donate_argnums=(2,),
-)
-def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
-                policy: KVCachePolicy, step_key, block_size: int = 128,
-                collect_ecc_stats: bool = False):
+def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
+                      policy: KVCachePolicy, step_key, block_size: int = 128,
+                      collect_ecc_stats: bool = False):
     """One incremental decode step: token_ids [B] -> logits [B, V].
 
     Writes the new token's K/V through the codec into the paged cache, then
@@ -322,6 +317,63 @@ def decode_step(params, token_ids, state, block_table, cfg: ModelConfig,
     logits = _lm_head(params, x, cfg)[:, 0]
     state["context_len"] = pos + 1
     return logits, state
+
+
+decode_step = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "policy", "block_size", "collect_ecc_stats"),
+    donate_argnums=(2,),
+)(_decode_step_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "policy", "num_steps", "block_size",
+                     "collect_ecc_stats"),
+    donate_argnums=(2,),
+)
+def decode_loop(params, logits, state, block_table, cfg: ModelConfig,
+                policy: KVCachePolicy, base_key, num_steps: int,
+                block_size: int = 128, collect_ecc_stats: bool = False):
+    """`num_steps` greedy decode steps in ONE jitted lax.scan.
+
+    Equivalent to the host loop
+
+        for step in range(num_steps):
+            logits, state = decode_step(params, argmax(logits), state, ...,
+                                        fold_in(base_key, step))
+
+    but with zero host round-trips: token selection (argmax), the cache
+    writes, and every layer's fused write+attend kernel run on-device
+    under one dispatch. This is both the production decode-loop shape and
+    the only timing-faithful shape through the tunneled chip, whose
+    per-dispatch overhead is 1-3 ms with huge session-dependent variance
+    (CLAUDE.md). The paged caches flow through the scan carry donated, so
+    the in-kernel aliased updates stay in-place (verified: step time
+    matches the host loop's healthy-tunnel floor, no XLA cache copies).
+
+    Returns (logits [B, V] after the last step, state, tokens
+    [num_steps, B] - the argmax token fed into each step).
+    """
+    if collect_ecc_stats:
+        B = logits.shape[0]
+        state.setdefault("ecc_corrected", jnp.zeros((B,), jnp.int32))
+        state.setdefault("ecc_detected", jnp.zeros((B,), jnp.int32))
+
+    def body(carry, step):
+        logits, state = carry
+        tok = jnp.argmax(logits, axis=-1)
+        logits, state = _decode_step_impl(
+            params, tok, state, block_table, cfg, policy,
+            jax.random.fold_in(base_key, step), block_size=block_size,
+            collect_ecc_stats=collect_ecc_stats,
+        )
+        return (logits, state), tok
+
+    (logits, state), tokens = jax.lax.scan(
+        body, (logits, state), jnp.arange(num_steps)
+    )
+    return logits, state, tokens
 
 
 def generate(

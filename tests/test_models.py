@@ -207,3 +207,62 @@ class TestCrossEntropy:
         total, count = cross_entropy(logits, labels)
         assert int(count) == 2  # positions 1 and 3 predicted; -100 masked
         assert np.isclose(float(total), 2 * np.log(8), atol=1e-5)
+
+
+class TestDecodeLoop:
+    """The fully-jitted scanned decode loop (runtime.decode_loop) is
+    bit-identical to the host step-by-step loop: same argmax tokens, same
+    logits, same cache state - for every fused codec family."""
+
+    @pytest.mark.parametrize(
+        "mode", ["int12-golay", "int4-hamming84", "int4-write-inject", "fp16"]
+    )
+    def test_matches_host_loop(self, mode):
+        from qkv_ecc_tpu.models.runtime import (
+            decode_loop, decode_step, init_generation_state, prefill)
+
+        cfg = TINY_LLAMA
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)))
+        policy = policy_for_mode(mode, ber=1e-2, seed=42)
+        key = jax.random.key(42)
+
+        state, bt, _ = init_generation_state(cfg, policy, 2, 24 + 8, 128)
+        logits, state = prefill(params, ids, state, bt, cfg, policy, key)
+        l1 = logits
+        toks1 = []
+        for step in range(4):
+            tok = jnp.argmax(l1, axis=-1)
+            toks1.append(tok)
+            l1, state = decode_step(
+                params, tok, state, bt, cfg, policy,
+                jax.random.fold_in(key, step))
+
+        state2, bt2, _ = init_generation_state(cfg, policy, 2, 24 + 8, 128)
+        logits2, state2 = prefill(params, ids, state2, bt2, cfg, policy, key)
+        l2, state2, toks2 = decode_loop(
+            params, logits2, state2, bt2, cfg, policy, key, 4)
+
+        assert jnp.array_equal(jnp.stack(toks1), toks2)
+        assert jnp.array_equal(l1, l2)
+        assert jnp.array_equal(state["context_len"], state2["context_len"])
+        assert jnp.array_equal(state["k_cache"], state2["k_cache"])
+        assert jnp.array_equal(state["v_cache"], state2["v_cache"])
+
+    def test_collect_stats(self):
+        from qkv_ecc_tpu.models.runtime import (
+            decode_loop, init_generation_state, prefill)
+
+        cfg = TINY_LLAMA
+        params = init_params(cfg, 0)
+        rng = np.random.default_rng(1)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 24)))
+        policy = policy_for_mode("int4-hamming84", ber=3e-2, seed=7)
+        key = jax.random.key(7)
+        state, bt, _ = init_generation_state(cfg, policy, 2, 24 + 8, 128)
+        logits, state = prefill(params, ids, state, bt, cfg, policy, key)
+        logits, state, _ = decode_loop(
+            params, logits, state, bt, cfg, policy, key, 4,
+            collect_ecc_stats=True)
+        assert int(jnp.sum(state["ecc_corrected"])) > 0
