@@ -5,6 +5,13 @@ projections, quantize+encode+inject cache write, fused paged attention with
 inline Golay decode, MLP, LM head) and compares against the identical model
 with an unprotected INT4 cache.
 
+Timing uses the fully-jitted scanned decode loop (models/runtime.py:
+decode_loop): 128 steps per dispatch, token selection and every cache
+update on-device. This is both the production decode-loop shape and the
+only timing-faithful shape through the tunneled chip, whose per-dispatch
+overhead is 1-3 ms with huge session-dependent variance (a host-side
+step loop smears that variance into the per-mode ratios; CLAUDE.md).
+
 Prints ONE JSON line:
     metric      : decode tokens/sec/chip, Golay(24,12)-protected INT4 KV
     value       : tokens/sec (batch * steps / wall)
@@ -14,7 +21,7 @@ Prints ONE JSON line:
                   vs_baseline >= 0.91; >1.0 means ECC decode is free.
 
 Config: llama-architecture ~0.9B (24 layers, hidden 2048, 16 heads / 8 KV
-heads @ head_dim 128), batch 8, context 1024+64. Random weights (no network
+heads @ head_dim 128), batch 8, context 1024+128. Random weights (no network
 in this environment) - throughput is weight-content-independent.
 """
 
@@ -33,7 +40,7 @@ def main():
     from qkv_ecc_tpu.models.config import get_model_config
     from qkv_ecc_tpu.models.kv_policy import policy_for_mode
     from qkv_ecc_tpu.models.registry import init_params
-    from qkv_ecc_tpu.models.runtime import decode_step, init_generation_state, prefill
+    from qkv_ecc_tpu.models.runtime import decode_loop, init_generation_state, prefill
 
     cfg = get_model_config("bench-0.9b")
     batch, prompt_len, decode_tokens = 8, 1024, 128
@@ -50,21 +57,21 @@ def main():
 
     def measure(mode):
         policy = policy_for_mode(mode, ber=1e-2, seed=42)
+        # capacity covers EVERY decoded token: 1 warmup + 3 timed rounds
+        # (context really advances each step; undersizing would clamp the
+        # last steps' writes onto the final page and time corrupted attends)
         state, block_table, _ = init_generation_state(
-            cfg, policy, batch, prompt_len + decode_tokens + 8
+            cfg, policy, batch, prompt_len + 4 * decode_tokens + 8
         )
         key = jax.random.key(42)
         t0 = time.time()
         logits, state = prefill(params, ids, state, block_table, cfg, policy, key)
-        tok = jnp.argmax(logits, axis=-1)
-        # ~10 warmup steps: the first steps after prefill pay one-time
+        # warmup round: compiles the scanned loop and pays the one-time
         # buffer-migration costs on the remote TPU runtime
-        for w in range(10):
-            logits, state = decode_step(
-                params, jnp.argmax(logits, axis=-1), state, block_table, cfg,
-                policy, jax.random.fold_in(key, 100000 + w),
-            )
-        _ = np.asarray(logits)
+        logits, state, toks = decode_loop(
+            params, logits, state, block_table, cfg, policy, key, decode_tokens
+        )
+        _ = np.asarray(toks[-1])
         print(f"  {mode}: compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
 
         # best of 3 rounds: the tunneled chip shows transient stalls, and
@@ -72,12 +79,11 @@ def main():
         best_dt = float("inf")
         for _round in range(3):
             t0 = time.perf_counter()
-            for step in range(decode_tokens):
-                logits, state = decode_step(
-                    params, jnp.argmax(logits, axis=-1), state, block_table,
-                    cfg, policy, jax.random.fold_in(key, step),
-                )
-            _ = np.asarray(logits)
+            logits, state, toks = decode_loop(
+                params, logits, state, block_table, cfg, policy,
+                jax.random.fold_in(key, _round), decode_tokens,
+            )
+            _ = np.asarray(toks[-1])
             dt = time.perf_counter() - t0 - 0.025  # one host fetch RTT
             best_dt = min(best_dt, dt)
         tps = batch * decode_tokens / best_dt

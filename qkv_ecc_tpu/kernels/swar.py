@@ -548,11 +548,26 @@ def encode_row(codec: str, q, head_dim: int):
     return pack_codewords(codec, encode_codewords(codec, q, head_dim), head_dim)
 
 
+def golay_data12(q, head_dim: int):
+    """Quantized nibbles [..., head_dim] -> third-partitioned 12-bit data
+    words [..., C4]: the golay padding + packing step, shared by
+    encode_codewords and the fused write-scrub path (models/kv_policy.py:
+    encode_kv_scrubbed) so the two can never silently diverge - the
+    injection mask stream is keyed on this array's shape."""
+    pv = padded_values("golay", head_dim)
+    pad = pv - head_dim
+    if pad:
+        q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pad)])
+    return golay_pack_thirds(q.astype(jnp.int32) & 0xF)
+
+
 def encode_codewords(codec: str, q, head_dim: int):
     """Quantized nibbles [..., head_dim] -> per-value logical codeword array
     (the injection domain), padded to the codec's packing granularity."""
     from . import common as C
 
+    if codec == "golay":
+        return golay_encode_wide(golay_data12(q, head_dim))
     pv = padded_values(codec, head_dim)
     pad = pv - head_dim
     if pad:
@@ -564,8 +579,6 @@ def encode_codewords(codec: str, q, head_dim: int):
         return C.hamming74_encode_i32(q)
     if codec == "hamming84":
         return C.hamming84_encode_i32(q)
-    if codec == "golay":
-        return golay_encode_wide(golay_pack_thirds(q))
     raise ValueError(codec)
 
 

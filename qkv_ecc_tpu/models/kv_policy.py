@@ -184,11 +184,7 @@ def encode_kv_scrubbed(x, policy: KVCachePolicy, key):
     if codec == "golay":
         x = jnp.asarray(x, jnp.float32)
         q, scale = _quantize(x)
-        head_dim = x.shape[-1]
-        pv = swar.padded_values(codec, head_dim)
-        if pv - head_dim:
-            q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pv - head_dim)])
-        d12 = swar.golay_pack_thirds(q & 0xF)
+        d12 = swar.golay_data12(q, x.shape[-1])
         if not inject:
             # clean codewords scrub to themselves
             return swar.golay_encode_wide(d12), scale

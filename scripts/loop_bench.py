@@ -3,7 +3,6 @@
 One dispatch per 128 steps — removes the tunnel's per-dispatch overhead
 from the measurement entirely. Also the canary for XLA copying the caches
 through the scan carry (step time would balloon to ~50 ms)."""
-import sys
 import time
 
 import numpy as np

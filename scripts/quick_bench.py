@@ -1,5 +1,4 @@
 """Quick golay-vs-int4 decode-step measurement (bench.py shapes, 1 round)."""
-import sys
 import time
 
 import numpy as np
@@ -23,8 +22,9 @@ def main():
 
     def measure(mode):
         policy = policy_for_mode(mode, ber=1e-2, seed=42)
+        # capacity covers every decoded token (10 warmup + 2 timed rounds)
         state, block_table, _ = init_generation_state(
-            cfg, policy, batch, prompt_len + decode_tokens + 8
+            cfg, policy, batch, prompt_len + 10 + 2 * decode_tokens + 8
         )
         key = jax.random.key(42)
         t0 = time.time()
