@@ -44,6 +44,7 @@ def main():
 
     cfg = get_model_config("bench-0.9b")
     batch, prompt_len, decode_tokens = 8, 1024, 128
+    TIMED_ROUNDS = 4  # per-mode min over interleaved rounds
     print(
         f"bench: {cfg.name} on {jax.devices()[0].device_kind}, "
         f"batch={batch} ctx={prompt_len}+{decode_tokens}",
@@ -55,37 +56,51 @@ def main():
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)))
 
-    def measure(mode):
-        policy = policy_for_mode(mode, ber=1e-2, seed=42)
-        # capacity covers EVERY decoded token: 1 warmup + 3 timed rounds
-        # (context really advances each step; undersizing would clamp the
-        # last steps' writes onto the final page and time corrupted attends)
-        state, block_table, _ = init_generation_state(
-            cfg, policy, batch, prompt_len + 4 * decode_tokens + 8
-        )
-        key = jax.random.key(42)
-        t0 = time.time()
-        logits, state = prefill(params, ids, state, block_table, cfg, policy, key)
-        # warmup round: compiles the scanned loop and pays the one-time
-        # buffer-migration costs on the remote TPU runtime
-        logits, state, toks = decode_loop(
-            params, logits, state, block_table, cfg, policy, key, decode_tokens
-        )
-        _ = np.asarray(toks[-1])
-        print(f"  {mode}: compile+warmup {time.time()-t0:.0f}s", file=sys.stderr)
+    class Arm:
+        """One cache mode's compiled state + timing accumulator."""
 
-        # best of 3 rounds: the tunneled chip shows transient stalls, and
-        # the minimum is the faithful steady-state estimate
-        best_dt = float("inf")
-        for _round in range(3):
+        def __init__(self, mode):
+            self.mode = mode
+            self.policy = policy_for_mode(mode, ber=1e-2, seed=42)
+            # capacity covers EVERY decoded token: 1 warmup + the timed
+            # rounds (context really advances each step; undersizing would
+            # clamp the last steps' writes onto the final page and time
+            # corrupted attends)
+            self.state, self.block_table, _ = init_generation_state(
+                cfg, self.policy, batch,
+                prompt_len + (1 + TIMED_ROUNDS) * decode_tokens + 8,
+            )
+            self.key = jax.random.key(42)
+            self.best_dt = float("inf")
+
+        def warmup(self):
+            t0 = time.time()
+            self.logits, self.state = prefill(
+                params, ids, self.state, self.block_table, cfg, self.policy,
+                self.key,
+            )
+            # warmup round: compiles the scanned loop and pays the one-time
+            # buffer-migration costs on the remote TPU runtime
+            self.logits, self.state, toks = decode_loop(
+                params, self.logits, self.state, self.block_table, cfg,
+                self.policy, self.key, decode_tokens,
+            )
+            _ = np.asarray(toks[-1])
+            print(f"  {self.mode}: compile+warmup {time.time()-t0:.0f}s",
+                  file=sys.stderr)
+
+        def timed_round(self, r):
             t0 = time.perf_counter()
-            logits, state, toks = decode_loop(
-                params, logits, state, block_table, cfg, policy,
-                jax.random.fold_in(key, _round), decode_tokens,
+            self.logits, self.state, toks = decode_loop(
+                params, self.logits, self.state, self.block_table, cfg,
+                self.policy, jax.random.fold_in(self.key, r), decode_tokens,
             )
             _ = np.asarray(toks[-1])
             dt = time.perf_counter() - t0 - 0.025  # one host fetch RTT
-            best_dt = min(best_dt, dt)
+            self.best_dt = min(self.best_dt, dt)
+
+    def report(arm):
+        mode, policy, best_dt = arm.mode, arm.policy, arm.best_dt
         tps = batch * decode_tokens / best_dt
         # HBM-bandwidth accounting: weights stream once per step; the
         # fused kernel reads the full packed KV context (K+V+scales)
@@ -117,12 +132,23 @@ def main():
         )
         return tps, gbps
 
-    golay_tps, golay_bw = measure("int12-golay")
-    h84_tps, h84_bw = measure("int4-hamming84")
     # write-inject baseline: same persistent-corruption fault model as the
     # protected arms (mode "int4" is the reference's READ-inject arm, which
-    # pays a per-step PRNG cost that is not part of a fair perf baseline)
-    int4_tps, int4_bw = measure("int4-write-inject")
+    # pays a per-step PRNG cost that is not part of a fair perf baseline).
+    # All modes compile first, then the timed rounds run ROUND-ROBIN so
+    # each cross-mode ratio comes from back-to-back tunnel conditions -
+    # per-mode blocks minutes apart let tunnel drift corrupt the headline
+    # ratio (CLAUDE.md: ratios measured back-to-back are the only reliable
+    # signal; absolute ms vary ~2x across sessions).
+    arms = [Arm("int12-golay"), Arm("int4-hamming84"), Arm("int4-write-inject")]
+    for arm in arms:
+        arm.warmup()
+    for r in range(TIMED_ROUNDS):
+        for arm in arms:
+            arm.timed_round(r)
+    golay_tps, golay_bw = report(arms[0])
+    h84_tps, h84_bw = report(arms[1])
+    int4_tps, int4_bw = report(arms[2])
 
     print(
         json.dumps(

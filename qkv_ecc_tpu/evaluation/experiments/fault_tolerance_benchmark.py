@@ -24,7 +24,11 @@ import numpy as np
 
 from ...models.kv_policy import KVCachePolicy, policy_for_mode
 from ...models.registry import init_params, loss_and_stats
-from ...models.runtime import decode_step, generate, init_generation_state, prefill
+from ...models.runtime import (
+    decode_loop,
+    init_generation_state,
+    prefill,
+)
 from ..data import load_wikitext2_test, tokenize, pad_to_bucket
 from ..models import load_model
 from ..timing import time_fn
@@ -53,26 +57,27 @@ def benchmark_decode_throughput(
     """Steady-state decode throughput (tokens/s) and per-token latency."""
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, prompt_len)))
+    # capacity covers warmup + timed decode tokens
     state, block_table, cache_cfg = init_generation_state(
-        cfg, policy, batch, prompt_len + decode_tokens + 8
+        cfg, policy, batch, prompt_len + 2 * decode_tokens + 8
     )
     key = jax.random.key(policy.seed)
     logits, state = prefill(params, ids, state, block_table, cfg, policy, key)
-    tok = jnp.argmax(logits, axis=-1)
 
-    # warm the decode step
-    logits, state = decode_step(
-        params, tok, state, block_table, cfg, policy, key
+    # warmup round compiles the scanned loop; timing the jitted decode_loop
+    # (one dispatch per decode_tokens steps) keeps the tunnel's 1-3 ms
+    # per-dispatch variance out of the measurement (CLAUDE.md)
+    logits, state, toks = decode_loop(
+        params, logits, state, block_table, cfg, policy, key, decode_tokens
     )
-    jax.block_until_ready(logits)
+    _ = np.asarray(toks[-1])
 
     t0 = time.perf_counter()
-    for step in range(decode_tokens):
-        logits, state = decode_step(
-            params, jnp.argmax(logits, axis=-1), state, block_table, cfg, policy,
-            jax.random.fold_in(key, step),
-        )
-    jax.block_until_ready(logits)
+    logits, state, toks = decode_loop(
+        params, logits, state, block_table, cfg, policy,
+        jax.random.fold_in(key, 1), decode_tokens,
+    )
+    _ = np.asarray(toks[-1])
     dt = time.perf_counter() - t0
 
     cache_bytes = sum(

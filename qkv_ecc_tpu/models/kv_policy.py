@@ -28,7 +28,10 @@ from ..kernels.common import (
     hamming84_decode_i32,
 )
 from ..kernels import swar
-from ..kernels.codec_kernels import golay_write_scrub_tpu
+from ..kernels.codec_kernels import (
+    golay_write_scrub_tiled_tpu,
+    golay_write_scrub_tpu,
+)
 
 _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 
@@ -192,6 +195,73 @@ def encode_kv_scrubbed(x, policy: KVCachePolicy, key):
         return golay_write_scrub_tpu(d12, mask), scale
     enc, scale, _ = encode_kv(x, policy, key)
     return swar.scrub_codewords(codec, enc), scale
+
+
+def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
+                            mask2d=None):
+    """encode_kv_scrubbed for a (K, V) pair, with the two golay scrub
+    kernels batched into ONE Pallas launch (stacked on a new leading axis).
+
+    Bit-identical to two encode_kv_scrubbed calls: the threefry masks are
+    still drawn per-tensor from (k_key, v_key) over the UNstacked d12
+    shape, so the injection streams (and every determinism/equality test)
+    are unchanged - only the launch count halves. The per-layer decode-step
+    write chain is launch/fusion-bound, not op-bound (CLAUDE.md).
+
+    `mask2d` (optional): this layer's PRE-TILED injection mask from
+    golay_pair_mask_tiles - the hoisted form that avoids materializing a
+    fresh per-layer mask chain into the kernel operand (~30 us/layer,
+    the dominant golay write cost once everything else is fused). Must
+    have been drawn from the same (k_key, v_key).
+
+    Returns ((k_codewords, k_scales), (v_codewords, v_scales))."""
+    codec = policy.codec
+    inject = (
+        policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
+    )
+    if codec != "golay" or not inject:
+        return (
+            encode_kv_scrubbed(k, policy, k_key),
+            encode_kv_scrubbed(v, policy, v_key),
+        )
+    k = jnp.asarray(k, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    qk, k_scale = _quantize(k)
+    qv, v_scale = _quantize(v)
+    dk = swar.golay_data12(qk, k.shape[-1])
+    dv = swar.golay_data12(qv, v.shape[-1])
+    if mask2d is not None:
+        out = golay_write_scrub_tiled_tpu(jnp.stack([dk, dv]), mask2d)
+    else:
+        mk = flip_mask_for(k_key, dk.shape, policy.ber, N_BITS[codec])
+        mv = flip_mask_for(v_key, dv.shape, policy.ber, N_BITS[codec])
+        out = golay_write_scrub_tpu(jnp.stack([dk, dv]), jnp.stack([mk, mv]))
+    return (out[0], k_scale), (out[1], v_scale)
+
+
+def golay_pair_mask_tiles(policy: KVCachePolicy, layer_keys, d12_shape):
+    """Hoisted golay injection masks for EVERY layer's (K, V) write, drawn
+    bit-identically to the per-layer flip_mask_for calls (vmapped threefry
+    produces the same bits per key as separate calls) and pre-tiled into
+    the scrub kernel's 2D layout in ONE fusion chain.
+
+    Per-layer mask generation inside the unrolled decode step costs
+    ~0.77 ms/step at bench shapes - not the threefry arithmetic (~0.17 ms
+    when XLA fuses it into a jnp consumer) but materializing 24 separate
+    tiny mask chains into Pallas operands. Hoisting leaves a single
+    [L, rows, 512] buffer; each layer takes a FREE static slice.
+
+    layer_keys: [L, 2] stacked typed keys ((k_key, v_key) per layer, built
+    with the same fold_in chain as models/runtime.py:_layer_kv_key).
+    Returns int32 [L, rows_padded, 512]."""
+    from ..kernels.codec_kernels import scrub_tile2d
+
+    L = layer_keys.shape[0]
+    flat = layer_keys.reshape(2 * L)
+    masks = jax.vmap(
+        lambda kk: flip_mask_for(kk, d12_shape, policy.ber, N_BITS["golay"])
+    )(flat)
+    return jax.vmap(scrub_tile2d)(masks.reshape((L, 2) + tuple(d12_shape)))
 
 
 def pack_kv(enc, policy: KVCachePolicy, head_dim: int):

@@ -36,7 +36,9 @@ from .kv_policy import (
     KVCachePolicy,
     decode_kv,
     encode_kv,
+    encode_kv_pair_scrubbed,
     encode_kv_scrubbed,
+    golay_pair_mask_tiles,
     pack_kv,
 )
 from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
@@ -85,6 +87,18 @@ def init_generation_state(
 def _layer_kv_key(policy: KVCachePolicy, layer_idx: int, step_key):
     base = jax.random.fold_in(step_key, layer_idx)
     return jax.random.fold_in(base, 0), jax.random.fold_in(base, 1)
+
+
+def _stacked_layer_kv_keys(num_layers: int, step_key):
+    """All layers' (k_key, v_key) as one [L, 2] typed-key array, built with
+    the same fold_in chain as _layer_kv_key (vmapped fold_in is
+    bit-identical to the scalar calls - threefry is pure arithmetic)."""
+    bases = jax.vmap(lambda i: jax.random.fold_in(step_key, i))(
+        jnp.arange(num_layers, dtype=jnp.uint32)
+    )
+    kks = jax.vmap(lambda b: jax.random.fold_in(b, 0))(bases)
+    vks = jax.vmap(lambda b: jax.random.fold_in(b, 1))(bases)
+    return jnp.stack([kks, vks], axis=1)
 
 
 def _write_tokens(state, layer_idx, block_table, positions, kc, vc, ks, vs):
@@ -256,14 +270,41 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
         if read
         else 0
     )
+    # golay hoisted masks: draw EVERY layer's (K, V) injection mask in one
+    # batched threefry chain at the step top, pre-tiled into the scrub
+    # kernel's 2D layout. Bit-identical streams to the per-layer draws;
+    # avoids materializing 2L separate tiny mask chains into Pallas
+    # operands (~30 us each = ~0.77 ms/step at bench shapes, the dominant
+    # golay write cost once everything else is fused).
+    hoist = (
+        use_scrub
+        and policy.codec == "golay"
+        and policy.inject_errors
+        and policy.ber > 0
+        and policy.inject_at == "write"
+    )
+    if hoist:
+        kv_key = jax.random.fold_in(step_key, 1000000)
+        d12_shape = (
+            B, 1, cfg.num_kv_heads,
+            swar.padded_values("golay", cfg.head_dim) // 3,
+        )
+        mask_tiles = golay_pair_mask_tiles(
+            policy,
+            _stacked_layer_kv_keys(len(params["layers"]), kv_key),
+            d12_shape,
+        )
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
         if use_scrub:
-            # fused encode+inject+scrub (one Pallas launch for golay): the
-            # per-layer jnp chain is fusion-launch-bound at decode shapes
-            kc, ks = encode_kv_scrubbed(k, policy, kk)
-            vc, vs = encode_kv_scrubbed(v, policy, vk)
+            # fused encode+inject+scrub (one Pallas launch per layer for
+            # golay, K and V batched): the per-layer jnp chain is
+            # fusion-launch-bound at decode shapes
+            (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(
+                k, v, policy, kk, vk,
+                mask2d=mask_tiles[i] if hoist else None,
+            )
         else:
             kc, ks, _ = encode_kv(k, policy, kk)
             vc, vs, _ = encode_kv(v, policy, vk)

@@ -41,7 +41,8 @@ from ..models.kv_policy import (
     KVCachePolicy,
     decode_kv,
     encode_kv,
-    encode_kv_scrubbed,
+    encode_kv_pair_scrubbed,
+    golay_pair_mask_tiles,
     pack_kv,
 )
 from ..models.layers import (
@@ -51,6 +52,7 @@ from ..models.layers import (
     rms_norm,
     rope_frequencies,
 )
+from ..models.runtime import _stacked_layer_kv_keys
 from ..models.runtime import _use_scrub as use_scrub
 from ..models.runtime import _write_tokens
 from .sharding import cache_specs, param_specs
@@ -74,7 +76,7 @@ def _layer_kv_key(policy, layer_idx, step_key):
 
 def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
               state, block_table, *, write: bool, fused_attend: bool,
-              block_size: int, step_key):
+              block_size: int, step_key, mask2d=None):
     """One transformer block on local shards; psums over 'model'."""
     B, S, E = x.shape
     H, Hkv, D = cfgl.num_heads, cfgl.num_kv_heads, cfgl.head_dim
@@ -105,10 +107,12 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     kk = jax.random.fold_in(kk, shard)
     vk = jax.random.fold_in(vk, shard)
     if fused_attend and use_scrub(policy):
-        # decode hot path: fused encode+inject+scrub (one Pallas launch
-        # for golay - the unfused chain is fusion-launch-bound per layer)
-        kc_st, ks = encode_kv_scrubbed(k, policy, kk)
-        vc_st, vs = encode_kv_scrubbed(v, policy, vk)
+        # decode hot path: fused encode+inject+scrub (one Pallas launch per
+        # layer for golay, K and V batched - the unfused chain is
+        # fusion-launch-bound per layer)
+        (kc_st, ks), (vc_st, vs) = encode_kv_pair_scrubbed(
+            k, v, policy, kk, vk, mask2d=mask2d
+        )
     else:
         kc, ks, _ = encode_kv(k, policy, kk)
         vc, vs, _ = encode_kv(v, policy, vk)
@@ -302,11 +306,34 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         positions = pos[:, None]
         x = _embed_tp(params, tokens[:, None], positions, cfg)
         inv_freq = inv_freq_fn()
+        # golay hoisted masks: all layers' (K, V) injection masks drawn in
+        # one batched threefry chain (see models/runtime.py) - per-shard,
+        # with the same shard fold as _block_tp's per-layer keys
+        hoist = (
+            use_scrub(policy)
+            and policy.codec == "golay"
+            and policy.inject_errors
+            and policy.ber > 0
+            and policy.inject_at == "write"
+        )
+        mask_tiles = None
+        if hoist:
+            shard = jax.lax.axis_index("model")
+            lk = _stacked_layer_kv_keys(len(params["layers"]), key)
+            lk = jax.vmap(
+                jax.vmap(lambda kk: jax.random.fold_in(kk, shard))
+            )(lk)
+            d12_shape = (
+                B, 1, cfgl.num_kv_heads,
+                swar.padded_values("golay", cfgl.head_dim) // 3,
+            )
+            mask_tiles = golay_pair_mask_tiles(policy, lk, d12_shape)
         for i, lp in enumerate(params["layers"]):
             x, state = _block_tp(
                 x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
                 write=True, fused_attend=True, block_size=block_size,
                 step_key=key,
+                mask2d=mask_tiles[i] if hoist else None,
             )
         logits = _lm_head_tp(params, x, cfgl)[:, 0]
         state["context_len"] = pos + 1

@@ -334,3 +334,63 @@ def test_encode_kv_scrubbed_matches_unfused(rng):
             assert jnp.array_equal(swar.scrub_codewords(codec, enc), got), (
                 codec, ber)
             assert jnp.array_equal(sc, sc2)
+
+
+def test_encode_kv_pair_scrubbed_matches_per_tensor(rng):
+    """encode_kv_pair_scrubbed (K/V batched into one golay scrub launch) is
+    bit-identical to two encode_kv_scrubbed calls: same threefry mask
+    streams, same scales - for every codec and BER the decode path uses."""
+    import jax
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.models.kv_policy import (
+        KVCachePolicy, encode_kv_pair_scrubbed, encode_kv_scrubbed)
+
+    k = jnp.asarray(rng.standard_normal((4, 1, 8, 128)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((4, 1, 8, 128)), jnp.float32)
+    base = jax.random.key(11)
+    kk = jax.random.fold_in(base, 0)
+    vk = jax.random.fold_in(base, 1)
+    for codec in ("golay", "hamming84", "hamming74", "int4"):
+        for ber in (0.0, 1e-2, 8e-2):
+            pol = KVCachePolicy(codec=codec, ber=ber, inject_errors=ber > 0,
+                                seed=42)
+            (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(k, v, pol, kk, vk)
+            kc_ref, ks_ref = encode_kv_scrubbed(k, pol, kk)
+            vc_ref, vs_ref = encode_kv_scrubbed(v, pol, vk)
+            assert jnp.array_equal(kc, kc_ref), (codec, ber)
+            assert jnp.array_equal(vc, vc_ref), (codec, ber)
+            assert jnp.array_equal(ks, ks_ref) and jnp.array_equal(vs, vs_ref)
+
+
+def test_golay_hoisted_mask_tiles_bit_identical(rng):
+    """The hoisted all-layers mask draw (golay_pair_mask_tiles + pre-tiled
+    scrub launch) produces the SAME codewords as the per-layer
+    flip_mask_for path - the injection streams must not shift when the
+    decode step hoists mask generation to the step top."""
+    import jax
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.kernels import swar
+    from qkv_ecc_tpu.models.kv_policy import (
+        KVCachePolicy, encode_kv_pair_scrubbed, golay_pair_mask_tiles)
+    from qkv_ecc_tpu.models.runtime import (
+        _layer_kv_key, _stacked_layer_kv_keys)
+
+    L, B, H, D = 3, 2, 4, 64
+    pol = KVCachePolicy(codec="golay", ber=2e-2, inject_errors=True, seed=7)
+    step_key = jax.random.fold_in(jax.random.key(5), 1000000)
+    d12_shape = (B, 1, H, swar.padded_values("golay", D) // 3)
+    tiles = golay_pair_mask_tiles(
+        pol, _stacked_layer_kv_keys(L, step_key), d12_shape
+    )
+    for i in range(L):
+        k = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+        kk, vk = _layer_kv_key(pol, i, step_key)
+        (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(
+            k, v, pol, kk, vk, mask2d=tiles[i]
+        )
+        (kc_r, ks_r), (vc_r, vs_r) = encode_kv_pair_scrubbed(
+            k, v, pol, kk, vk
+        )
+        assert jnp.array_equal(kc, kc_r) and jnp.array_equal(vc, vc_r), i
+        assert jnp.array_equal(ks, ks_r) and jnp.array_equal(vs, vs_r)
