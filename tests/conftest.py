@@ -31,6 +31,20 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop in-memory compiled executables at module boundaries.
+
+    The full suite compiles hundreds of XLA CPU programs in one process;
+    with everything kept live the process reaches ~7 GB RSS and the XLA CPU
+    compiler segfaults reproducibly near the end of the run (observed at
+    test_serving's golay decode-step compile; the same test passes in
+    isolation). The persistent disk cache (JAX_COMPILATION_CACHE_DIR)
+    keeps cross-run recompiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
