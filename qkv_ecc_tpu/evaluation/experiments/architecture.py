@@ -87,6 +87,42 @@ def format_report(comparison: Dict[str, Dict]) -> str:
     return "\n".join(lines)
 
 
+def plot_comparison(comparison: Dict[str, Dict], output_path: str) -> bool:
+    """PPL-vs-BER line plot, one panel per architecture (the reference's
+    plot_comparison, architecture.py:292). Returns False if matplotlib is
+    unavailable."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+
+    names = list(comparison)
+    fig, axes = plt.subplots(1, len(names), figsize=(7 * len(names), 5),
+                             squeeze=False)
+    for ax, name in zip(axes[0], names):
+        entry = comparison[name]
+        arch = entry["architecture"]
+        for mode, by_ber in entry["results"].aggregated.items():
+            pts = sorted(
+                (max(ber, 1e-8), agg.ppl_mean) for ber, agg in by_ber.items()
+            )
+            ax.plot([b for b, _ in pts], [p for _, p in pts],
+                    marker="o", linewidth=2, label=mode)
+        ax.set_xscale("log")
+        ax.set_xlabel("Bit Error Rate (BER)")
+        ax.set_ylabel("Perplexity")
+        ax.set_title(f"{name} ({arch['kv_projection']})")
+        ax.legend()
+        ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return True
+
+
 def main(argv=None):
     import argparse
 
@@ -94,7 +130,8 @@ def main(argv=None):
     p.add_argument("--models", nargs="+", default=["tiny-gpt2", "tiny-llama"])
     p.add_argument("--max-samples", type=int, default=4)
     p.add_argument("--output", default=None,
-                   help="JSON path; a .txt report is written next to it")
+                   help="JSON path; a .txt report and a .png PPL-vs-BER "
+                        "plot are written next to it")
     args = p.parse_args(argv)
     comparison = run_architecture_comparison(
         models=args.models, max_samples=args.max_samples
@@ -106,9 +143,11 @@ def main(argv=None):
         import os
 
         os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+        base = os.path.splitext(args.output)[0]
+        plot_comparison(comparison, base + ".png")
         with open(args.output, "w") as f:
             json.dump(comparison, f, indent=2, default=str)
-        with open(os.path.splitext(args.output)[0] + ".txt", "w") as f:
+        with open(base + ".txt", "w") as f:
             f.write(report + "\n")
     return comparison
 

@@ -127,8 +127,13 @@ def _quantize(x):
     return q.astype(jnp.int32), scale
 
 
-def encode_kv(x, policy: KVCachePolicy, key):
+def encode_kv(x, policy: KVCachePolicy, key, mask=None):
     """Quantize + encode + (inject) one K or V tensor [..., D].
+
+    `mask` (optional): a PRE-DRAWN injection mask over the logical codeword
+    array (any integer dtype; must equal flip_mask_for(key, enc.shape, ber,
+    n_bits) bit-for-bit) - the decode loop hoists every step's draws into
+    one bulk threefry chain (models/runtime.py) and passes the slices here.
 
     Returns (codewords, scales, flips) where codewords are int32 (fp16/fp8:
     the storage-typed values and scales=None), scales [...] float32.
@@ -161,13 +166,15 @@ def encode_kv(x, policy: KVCachePolicy, key):
     enc = swar.encode_codewords(codec, q, head_dim)
 
     if inject:
-        mask = flip_mask_for(key, enc.shape, policy.ber, N_BITS[codec])
+        if mask is None:
+            mask = flip_mask_for(key, enc.shape, policy.ber, N_BITS[codec])
+        mask = mask.astype(jnp.int32)
         flips = jnp.sum(jax.lax.population_count(mask), dtype=jnp.int32)
         enc = enc ^ mask
     return enc, scale, flips
 
 
-def encode_kv_scrubbed(x, policy: KVCachePolicy, key):
+def encode_kv_scrubbed(x, policy: KVCachePolicy, key, mask=None):
     """encode_kv + write-path scrub, fused where it matters.
 
     Bit-identical to `swar.scrub_codewords(codec, encode_kv(x)[0])` (the
@@ -191,14 +198,15 @@ def encode_kv_scrubbed(x, policy: KVCachePolicy, key):
         if not inject:
             # clean codewords scrub to themselves
             return swar.golay_encode_wide(d12), scale
-        mask = flip_mask_for(key, d12.shape, policy.ber, N_BITS[codec])
-        return golay_write_scrub_tpu(d12, mask), scale
-    enc, scale, _ = encode_kv(x, policy, key)
+        if mask is None:
+            mask = flip_mask_for(key, d12.shape, policy.ber, N_BITS[codec])
+        return golay_write_scrub_tpu(d12, mask.astype(jnp.int32)), scale
+    enc, scale, _ = encode_kv(x, policy, key, mask=mask)
     return swar.scrub_codewords(codec, enc), scale
 
 
 def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
-                            mask2d=None):
+                            mask2d=None, k_mask=None, v_mask=None):
     """encode_kv_scrubbed for a (K, V) pair, with the two golay scrub
     kernels batched into ONE Pallas launch (stacked on a new leading axis).
 
@@ -214,6 +222,10 @@ def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
     the dominant golay write cost once everything else is fused). Must
     have been drawn from the same (k_key, v_key).
 
+    `k_mask`/`v_mask` (optional, non-golay codecs): pre-drawn LOGICAL
+    codeword masks forwarded to encode_kv (the decode loop's bulk-draw
+    hoist, models/runtime.py).
+
     Returns ((k_codewords, k_scales), (v_codewords, v_scales))."""
     codec = policy.codec
     inject = (
@@ -221,8 +233,8 @@ def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
     )
     if codec != "golay" or not inject:
         return (
-            encode_kv_scrubbed(k, policy, k_key),
-            encode_kv_scrubbed(v, policy, v_key),
+            encode_kv_scrubbed(k, policy, k_key, mask=k_mask),
+            encode_kv_scrubbed(v, policy, v_key, mask=v_mask),
         )
     k = jnp.asarray(k, jnp.float32)
     v = jnp.asarray(v, jnp.float32)

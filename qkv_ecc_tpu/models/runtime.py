@@ -236,9 +236,38 @@ def prefill(params, input_ids, state, block_table, cfg: ModelConfig,
     return logits, state
 
 
+def _write_inject(policy) -> bool:
+    return (
+        policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
+    )
+
+
+def _golay_hoist_applies(policy, collect_ecc_stats):
+    """True when the decode step draws golay injection masks via the hoisted
+    pre-tiled chain (see golay_pair_mask_tiles)."""
+    return (
+        _use_scrub(policy)
+        and not collect_ecc_stats
+        and policy.codec == "golay"
+        and _write_inject(policy)
+    )
+
+
+def _logical_hoist_applies(policy, collect_ecc_stats):
+    """True when the decode step consumes hoisted LOGICAL codeword masks
+    (uint8 slices of one bulk draw; int4/hamming codecs - their masks fit
+    8 bits per element and XOR into the logical codewords via encode_kv)."""
+    return (
+        not collect_ecc_stats
+        and not _golay_hoist_applies(policy, collect_ecc_stats)
+        and policy.codec in ("int4", "hamming74", "hamming84")
+        and _write_inject(policy)
+    )
+
+
 def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
                       policy: KVCachePolicy, step_key, block_size: int = 128,
-                      collect_ecc_stats: bool = False):
+                      collect_ecc_stats: bool = False, hoisted_masks=None):
     """One incremental decode step: token_ids [B] -> logits [B, V].
 
     Writes the new token's K/V through the codec into the paged cache, then
@@ -276,27 +305,32 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
     # avoids materializing 2L separate tiny mask chains into Pallas
     # operands (~30 us each = ~0.77 ms/step at bench shapes, the dominant
     # golay write cost once everything else is fused).
-    hoist = (
-        use_scrub
-        and policy.codec == "golay"
-        and policy.inject_errors
-        and policy.ber > 0
-        and policy.inject_at == "write"
+    hoist = _golay_hoist_applies(policy, collect_ecc_stats)
+    logical_hoist = (
+        hoisted_masks is not None
+        and _logical_hoist_applies(policy, collect_ecc_stats)
     )
     if hoist:
-        kv_key = jax.random.fold_in(step_key, 1000000)
-        d12_shape = (
-            B, 1, cfg.num_kv_heads,
-            swar.padded_values("golay", cfg.head_dim) // 3,
-        )
-        mask_tiles = golay_pair_mask_tiles(
-            policy,
-            _stacked_layer_kv_keys(len(params["layers"]), kv_key),
-            d12_shape,
-        )
+        if hoisted_masks is not None:
+            # decode_loop pre-drew EVERY step's tiles before the scan
+            # (bit-identical stream; see decode_loop)
+            mask_tiles = hoisted_masks
+        else:
+            kv_key = jax.random.fold_in(step_key, 1000000)
+            d12_shape = (
+                B, 1, cfg.num_kv_heads,
+                swar.padded_values("golay", cfg.head_dim) // 3,
+            )
+            mask_tiles = golay_pair_mask_tiles(
+                policy,
+                _stacked_layer_kv_keys(len(params["layers"]), kv_key),
+                d12_shape,
+            )
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
+        lk_mask = hoisted_masks[i, 0] if logical_hoist else None
+        lv_mask = hoisted_masks[i, 1] if logical_hoist else None
         if use_scrub:
             # fused encode+inject+scrub (one Pallas launch per layer for
             # golay, K and V batched): the per-layer jnp chain is
@@ -304,10 +338,11 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
             (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(
                 k, v, policy, kk, vk,
                 mask2d=mask_tiles[i] if hoist else None,
+                k_mask=lk_mask, v_mask=lv_mask,
             )
         else:
-            kc, ks, _ = encode_kv(k, policy, kk)
-            vc, vs, _ = encode_kv(v, policy, vk)
+            kc, ks, _ = encode_kv(k, policy, kk, mask=lk_mask)
+            vc, vs, _ = encode_kv(v, policy, vk, mask=lv_mask)
         kc = pack_kv(kc, policy, cfg.head_dim)
         vc = pack_kv(vc, policy, cfg.head_dim)
         if ks is None:  # float codecs carry no dequant scales
@@ -396,10 +431,60 @@ def decode_loop(params, logits, state, block_table, cfg: ModelConfig,
     Returns (logits [B, V] after the last step, state, tokens
     [num_steps, B] - the argmax token fed into each step).
     """
+    B = logits.shape[0]
     if collect_ecc_stats:
-        B = logits.shape[0]
         state.setdefault("ecc_corrected", jnp.zeros((B,), jnp.int32))
         state.setdefault("ecc_detected", jnp.zeros((B,), jnp.int32))
+
+    # Write-inject modes: pre-draw EVERY step's (layer, K/V) injection masks
+    # in ONE vmapped threefry chain before the scan. Bit-identical to the
+    # per-step draws (vmapped fold_in/threefry == the scalar calls), but the
+    # ~0.17 ms/step of serial mask arithmetic at the head of each step
+    # becomes one bulk draw amortized across the whole dispatch; the scan
+    # body takes a free dynamic slice. Golay gets pre-tiled scrub-kernel
+    # operands (int32 24-bit masks); the int4/hamming codecs' masks fit
+    # uint8 logical-codeword slices XOR'd inside encode_kv. Applied to the
+    # BASELINE (int4-write-inject) too, so protected-vs-unprotected ratios
+    # compare equal injection machinery.
+    all_tiles = None
+    L = len(params["layers"])
+    if _golay_hoist_applies(policy, collect_ecc_stats):
+        d12_shape = (
+            B, 1, cfg.num_kv_heads,
+            swar.padded_values("golay", cfg.head_dim) // 3,
+        )
+
+        def step_tiles(step):
+            kv_key = jax.random.fold_in(
+                jax.random.fold_in(base_key, step), 1000000
+            )
+            return golay_pair_mask_tiles(
+                policy, _stacked_layer_kv_keys(L, kv_key), d12_shape
+            )
+
+        all_tiles = jax.vmap(step_tiles)(jnp.arange(num_steps))
+    elif _logical_hoist_applies(policy, collect_ecc_stats):
+        from ..codecs.fault_injection import flip_mask_for
+        from .kv_policy import N_BITS
+
+        enc_shape = (
+            B, 1, cfg.num_kv_heads,
+            swar.padded_values(policy.codec, cfg.head_dim),
+        )
+        n_bits = N_BITS[policy.codec]
+
+        def step_masks(step):
+            kv_key = jax.random.fold_in(
+                jax.random.fold_in(base_key, step), 1000000
+            )
+            keys = _stacked_layer_kv_keys(L, kv_key).reshape(2 * L)
+            m = jax.vmap(
+                lambda kk: flip_mask_for(kk, enc_shape, policy.ber, n_bits)
+            )(keys)
+            # masks are <= 8 bits/element for these codecs: store uint8
+            return m.reshape((L, 2) + enc_shape).astype(jnp.uint8)
+
+        all_tiles = jax.vmap(step_masks)(jnp.arange(num_steps))
 
     def body(carry, step):
         logits, state = carry
@@ -408,6 +493,7 @@ def decode_loop(params, logits, state, block_table, cfg: ModelConfig,
             params, tok, state, block_table, cfg, policy,
             jax.random.fold_in(base_key, step), block_size=block_size,
             collect_ecc_stats=collect_ecc_stats,
+            hoisted_masks=None if all_tiles is None else all_tiles[step],
         )
         return (logits, state), tok
 
