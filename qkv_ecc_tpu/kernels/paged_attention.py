@@ -368,9 +368,71 @@ def _paged_attn_kernel(
     op_t = jnp.float32 if exact else jnp.bfloat16
     prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
 
+    # fused-write bookkeeping, shared by the overlay/wait stages below
+    if fused_write:
+        tok_idx = ctx - 1
+        tok_page = tok_idx // bs
+        tok_lane = tok_idx % bs
+        i_in_chunk = tok_page - c * pages_per_chunk
+        write_here = (
+            (tok_page >= c * pages_per_chunk)
+            & (tok_page < (c + 1) * pages_per_chunk)
+            & (tok_page < max_pages)
+        )
+        kv_w = k_buf.shape[3]  # data_words in scrub mode, else full row
+        full_w = k_hbm.shape[3]
+
+        def _pin_copies():
+            """Parity-row RMW staging copies of the token's page (see
+            _overlay). Descriptors are reconstructed identically at the
+            start and wait sites (the _ChunkCopy pattern)."""
+            phys = jnp.maximum(block_tables_ref[b, tok_page], 0)
+            pw = full_w - kv_w
+            return [
+                pltpu.make_async_copy(
+                    hbm.at[layer, phys, :, pl.ds(kv_w, pw)], buf.at[0], wsem
+                )
+                for hbm, buf in ((k_hbm, kp_buf), (v_hbm, vp_buf))
+            ]
+
+        def _wb_copies(i, slot):
+            """Write-back copies of the token's (overlaid) page: data pages
+            + scales, plus the merged parity rows in RMW mode."""
+            phys = jnp.maximum(block_tables_ref[b, tok_page], 0)
+            is_float = codec in ("fp16", "fp8")
+            wb_pairs = [(k_buf, ko_ref), (v_buf, vo_ref)]
+            if not is_float:
+                wb_pairs += [(ks_buf, kso_ref), (vs_buf, vso_ref)]
+            wb = []
+            for buf, out in wb_pairs:
+                dst = out.at[layer, phys]
+                if len(buf.shape) == 5 and buf.shape[3] < full_w:
+                    dst = out.at[layer, phys, :, 0:kv_w]
+                wb.append(pltpu.make_async_copy(buf.at[slot, i], dst, wsem))
+            if kv_w < full_w:
+                pw = full_w - kv_w
+                wb += [
+                    pltpu.make_async_copy(
+                        buf.at[0],
+                        out.at[layer, phys, :, pl.ds(kv_w, pw)],
+                        wsem,
+                    )
+                    for buf, out in ((kp_buf, ko_ref), (vp_buf, vo_ref))
+                ]
+            return wb
+
     @pl.when(c * tokens_per_chunk < ctx)
     def _process():
         slot = c % 2
+
+        if fused_write and parity_rmw:
+            # issue the parity-row staging DMAs BEFORE blocking on the
+            # chunk's data DMAs: their latency hides under the chunk wait
+            @pl.when(write_here)
+            def _pin_start():
+                for p in _pin_copies():
+                    p.start()
+
         chunk_copy(c, slot).wait()
 
         if fused_write:
@@ -379,18 +441,11 @@ def _paged_attn_kernel(
             # (aliased) HBM cache. The caches are thus ONLY ever touched by
             # this kernel during decode - XLA never copies them (a scatter-
             # then-custom-call chain made XLA materialize a full cache copy
-            # per layer, ~6x the whole step's useful HBM traffic).
-            tok_idx = ctx - 1
-            tok_page = tok_idx // bs
-            tok_lane = tok_idx % bs
-            i_in_chunk = tok_page - c * pages_per_chunk
-
-            kv_w = k_buf.shape[3]  # data_words in scrub mode, else full row
-            full_w = k_hbm.shape[3]
-
-            @pl.when((tok_page >= c * pages_per_chunk)
-                     & (tok_page < (c + 1) * pages_per_chunk)
-                     & (tok_page < max_pages))
+            # per layer, ~6x the whole step's useful HBM traffic). The
+            # write-back DMAs are started here but WAITED only after the
+            # chunk's attends (the buffers are not mutated again), hiding
+            # their latency under compute.
+            @pl.when(write_here)
             def _write_token():
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
                 is_tok = lane == tok_lane  # [1, bs]
@@ -398,33 +453,20 @@ def _paged_attn_kernel(
 
                     @pl.when(i_in_chunk == i)
                     def _overlay():
-                        phys = jnp.maximum(
-                            block_tables_ref[b, tok_page], 0
-                        )
                         if kv_w < full_w:
                             # scrub mode streamed only the data prefix, so
                             # the new token's PARITY column is merged via a
                             # read-modify-write of the token page's parity
-                            # rows. The scratch is [1, H, pw, bs] addressed
-                            # through .at[0]: a DMA whose VMEM operand is a
-                            # RAW multi-dim ref hard-faults the chip when
-                            # the sublane dim is not a multiple of 8 (v5e,
-                            # minimal repro: [2,28,128] / [2,33,128] HBM<->
-                            # VMEM copies crash the TPU worker; the same
-                            # copies through a leading-unit-dim slice, or
-                            # per-head 2-D, work). ~70 KB/step.
-                            pw = full_w - kv_w
-                            pin = [
-                                pltpu.make_async_copy(
-                                    hbm.at[layer, phys, :, pl.ds(kv_w, pw)],
-                                    buf.at[0], wsem,
-                                )
-                                for hbm, buf in ((k_hbm, kp_buf),
-                                                 (v_hbm, vp_buf))
-                            ]
-                            for p in pin:
-                                p.start()
-                            for p in pin:
+                            # rows (staging DMAs started before the chunk
+                            # wait above). The scratch is [1, H, pw, bs]
+                            # addressed through .at[0]: a DMA whose VMEM
+                            # operand is a RAW multi-dim ref hard-faults the
+                            # chip when the sublane dim is not a multiple of
+                            # 8 (v5e, minimal repro: [2,28,128] / [2,33,128]
+                            # HBM<->VMEM copies crash the TPU worker; the
+                            # same copies through a leading-unit-dim slice,
+                            # or per-head 2-D, work). ~70 KB/step.
+                            for p in _pin_copies():
                                 p.wait()
                             for h in range(num_kv_heads):
                                 kp_buf[0, h] = jnp.where(
@@ -452,7 +494,6 @@ def _paged_attn_kernel(
                                 vn_ref[h, :kv_w].astype(rt),
                                 v_buf[slot, i, h].astype(rt),
                             ).astype(v_buf.dtype)
-                        wb_pairs = [(k_buf, ko_ref), (v_buf, vo_ref)]
                         if not is_float:
                             # float codecs carry no scales (their scale
                             # pages are never DMA'd in, so writing the
@@ -463,33 +504,8 @@ def _paged_attn_kernel(
                             vs_buf[slot, i] = jnp.where(
                                 is_tok, vsn_ref[0][:, None], vs_buf[slot, i]
                             )
-                            wb_pairs += [(ks_buf, kso_ref), (vs_buf, vso_ref)]
-                        wb = []
-                        for buf, out in wb_pairs:
-                            dst = out.at[layer, phys]
-                            if len(buf.shape) == 5 and buf.shape[3] < full_w:
-                                dst = out.at[layer, phys, :, 0:kv_w]
-                            wb.append(
-                                pltpu.make_async_copy(
-                                    buf.at[slot, i], dst, wsem
-                                )
-                            )
-                        if kv_w < full_w:
-                            pw = full_w - kv_w
-                            wb += [
-                                pltpu.make_async_copy(
-                                    buf.at[0],
-                                    out.at[layer, phys, :,
-                                           pl.ds(kv_w, pw)],
-                                    wsem,
-                                )
-                                for buf, out in ((kp_buf, ko_ref),
-                                                 (vp_buf, vo_ref))
-                            ]
-                        for w in wb:
+                        for w in _wb_copies(i, slot):
                             w.start()
-                        for w in wb:
-                            w.wait()
 
         is_float_codec = codec in ("fp16", "fp8")
         do_interp = interpolate and codec == "hamming84"
@@ -627,6 +643,22 @@ def _paged_attn_kernel(
             m_scr[r0:r1] = jnp.broadcast_to(m_new, (group, m_scr.shape[1]))
             l_scr[r0:r1] = jnp.broadcast_to(l_new, (group, l_scr.shape[1]))
 
+        def _wb_wait():
+            """Consume the deferred write-back DMAs issued by _overlay
+            (descriptors reconstructed identically; the staged buffers are
+            not mutated between start and wait)."""
+            if not fused_write:
+                return
+
+            @pl.when(write_here)
+            def _wait_writes():
+                for i in range(pages_per_chunk):
+
+                    @pl.when(i_in_chunk == i)
+                    def _w():
+                        for w in _wb_copies(i, slot):
+                            w.wait()
+
         if scrub:
             # Write-path-scrubbed cache: every stored codeword is valid
             # (corrections were applied and re-encoded at WRITE time, see
@@ -644,6 +676,7 @@ def _paged_attn_kernel(
                         minus8=False,
                     )
                     attend(h, i, kt, vt)
+            _wb_wait()
             return
 
         for h in range(num_kv_heads):
@@ -704,6 +737,7 @@ def _paged_attn_kernel(
                         codec, vt_raw, head_dim, op_t, minus8=False
                     )
                 attend(h, i, kt, vt)
+        _wb_wait()
 
     @pl.when(c == num_chunks - 1)
     def _finalize():
