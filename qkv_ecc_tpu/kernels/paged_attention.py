@@ -409,7 +409,7 @@ def _paged_attn_kernel(
                 if len(buf.shape) == 5 and buf.shape[3] < full_w:
                     dst = out.at[layer, phys, :, 0:kv_w]
                 wb.append(pltpu.make_async_copy(buf.at[slot, i], dst, wsem))
-            if kv_w < full_w:
+            if parity_rmw:
                 pw = full_w - kv_w
                 wb += [
                     pltpu.make_async_copy(
@@ -453,7 +453,7 @@ def _paged_attn_kernel(
 
                     @pl.when(i_in_chunk == i)
                     def _overlay():
-                        if kv_w < full_w:
+                        if parity_rmw:
                             # scrub mode streamed only the data prefix, so
                             # the new token's PARITY column is merged via a
                             # read-modify-write of the token page's parity
@@ -1013,7 +1013,7 @@ def paged_attention_ecc(
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
                      "collect_stats", "read_inject_ber", "sliding_window",
-                     "scrub"),
+                     "scrub", "debug_no_parity_rmw"),
     donate_argnums=(5, 6, 7, 8),
 )
 def paged_attention_ecc_write_attend(
@@ -1042,6 +1042,7 @@ def paged_attention_ecc_write_attend(
     read_inject_ber: float = 0.0,
     read_inject_seed=0,
     sliding_window: int | None = None,
+    debug_no_parity_rmw: bool = False,
 ):
     """Fused decode-step cache WRITE + paged attention in ONE kernel.
 
@@ -1087,6 +1088,13 @@ def paged_attention_ecc_write_attend(
         # prefix in VMEM instead. Production head dims (64/128) are aligned.
         kv_w = row_w
     parity_rmw = kv_w < row_w
+    if parity_rmw and debug_no_parity_rmw:
+        # measurement-isolation knob: skip the parity-row read-modify-write
+        # (staging DMAs + merge + write-back). The stored parity suffix goes
+        # STALE - decoded values are unaffected (scrub reads never touch
+        # parity) but the cache no longer holds valid codewords. Timing
+        # experiments only (scripts/wa_bench.py).
+        parity_rmw = False
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
     def q_map(b, c, layer, bt, cl):

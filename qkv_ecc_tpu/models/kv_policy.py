@@ -151,7 +151,9 @@ def encode_kv(x, policy: KVCachePolicy, key, mask=None):
         f8 = x.astype(jnp.float8_e4m3fn)
         if inject:
             raw = jax.lax.bitcast_convert_type(f8, jnp.uint8)
-            mask = flip_mask_for(key, raw.shape, policy.ber, 8).astype(jnp.uint8)
+            if mask is None:
+                mask = flip_mask_for(key, raw.shape, policy.ber, 8)
+            mask = mask.astype(jnp.uint8)
             flips = jnp.sum(
                 jax.lax.population_count(mask.astype(jnp.int32)), dtype=jnp.int32
             )
@@ -222,9 +224,11 @@ def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
     the dominant golay write cost once everything else is fused). Must
     have been drawn from the same (k_key, v_key).
 
-    `k_mask`/`v_mask` (optional, non-golay codecs): pre-drawn LOGICAL
-    codeword masks forwarded to encode_kv (the decode loop's bulk-draw
-    hoist, models/runtime.py).
+    `k_mask`/`v_mask` (optional): pre-drawn LOGICAL codeword masks - for
+    the non-golay codecs forwarded to encode_kv (the decode loop's
+    bulk-draw hoist, models/runtime.py); for golay, d12-shaped 24-bit
+    masks consumed directly by the fused scrub kernel (the TP runtime's
+    full-draw + head-slice streams, parallel/tp_runtime.py).
 
     Returns ((k_codewords, k_scales), (v_codewords, v_scales))."""
     codec = policy.codec
@@ -245,13 +249,18 @@ def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
     if mask2d is not None:
         out = golay_write_scrub_tiled_tpu(jnp.stack([dk, dv]), mask2d)
     else:
-        mk = flip_mask_for(k_key, dk.shape, policy.ber, N_BITS[codec])
-        mv = flip_mask_for(v_key, dv.shape, policy.ber, N_BITS[codec])
-        out = golay_write_scrub_tpu(jnp.stack([dk, dv]), jnp.stack([mk, mv]))
+        if k_mask is None:
+            k_mask = flip_mask_for(k_key, dk.shape, policy.ber, N_BITS[codec])
+            v_mask = flip_mask_for(v_key, dv.shape, policy.ber, N_BITS[codec])
+        out = golay_write_scrub_tpu(
+            jnp.stack([dk, dv]),
+            jnp.stack([k_mask, v_mask]).astype(jnp.int32),
+        )
     return (out[0], k_scale), (out[1], v_scale)
 
 
-def golay_pair_mask_tiles(policy: KVCachePolicy, layer_keys, d12_shape):
+def golay_pair_mask_tiles(policy: KVCachePolicy, layer_keys, d12_shape,
+                          head_slice=None):
     """Hoisted golay injection masks for EVERY layer's (K, V) write, drawn
     bit-identically to the per-layer flip_mask_for calls (vmapped threefry
     produces the same bits per key as separate calls) and pre-tiled into
@@ -265,6 +274,12 @@ def golay_pair_mask_tiles(policy: KVCachePolicy, layer_keys, d12_shape):
 
     layer_keys: [L, 2] stacked typed keys ((k_key, v_key) per layer, built
     with the same fold_in chain as models/runtime.py:_layer_kv_key).
+    `head_slice` (optional list of (axis, start, size), starts may be
+    traced): draw the FULL d12_shape mask, then keep only the given slices
+    of the [L, 2] + d12_shape array before tiling - the TP runtime's
+    full-draw + shard-slice scheme (each shard consumes its
+    (data-batch, kv-head) slice of the SAME per-layer stream, so the
+    sharded cache state stays bit-identical to single-chip).
     Returns int32 [L, rows_padded, 512]."""
     from ..kernels.codec_kernels import scrub_tile2d
 
@@ -273,7 +288,11 @@ def golay_pair_mask_tiles(policy: KVCachePolicy, layer_keys, d12_shape):
     masks = jax.vmap(
         lambda kk: flip_mask_for(kk, d12_shape, policy.ber, N_BITS["golay"])
     )(flat)
-    return jax.vmap(scrub_tile2d)(masks.reshape((L, 2) + tuple(d12_shape)))
+    masks = masks.reshape((L, 2) + tuple(d12_shape))
+    if head_slice is not None:
+        for axis, start, size in head_slice:
+            masks = jax.lax.dynamic_slice_in_dim(masks, start, size, axis=axis)
+    return jax.vmap(scrub_tile2d)(masks)
 
 
 def pack_kv(enc, policy: KVCachePolicy, head_dim: int):

@@ -34,10 +34,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..cache.layout import ECCCacheConfig, allocate_ecc_kv_cache
+from ..codecs.fault_injection import flip_mask_for
 from ..kernels import swar
 from ..kernels.paged_attention import paged_attention_ecc_write_attend
 from ..models.config import ModelConfig
 from ..models.kv_policy import (
+    N_BITS,
     KVCachePolicy,
     decode_kv,
     encode_kv,
@@ -74,12 +76,56 @@ def _layer_kv_key(policy, layer_idx, step_key):
     return jax.random.fold_in(base, 0), jax.random.fold_in(base, 1)
 
 
+def _shard_masks(policy, kk, vk, B_local, S, kv_heads_full, kv_heads_local,
+                 head_dim, data_shards):
+    """Write-path injection masks for this shard: FULL-draw + slice.
+    Every shard draws the SAME per-layer mask stream a single-chip run
+    would (same keys, same full [B_global, S, Hkv_full, ...] shape - the
+    threefry counters enumerate the whole array, so any shape change moves
+    every bit) and keeps only its own (data-batch, kv-head) slice. The
+    sharded cache state and the psum'd ECC counters are therefore
+    BIT-IDENTICAL to the single-chip server's (tests/test_serving.py
+    asserts this at BER>0). Shards stay statistically decorrelated because
+    they own disjoint slices of one stream - no per-shard key folding
+    needed. The full draw is recomputed on every shard; at decode shapes
+    it is a few KB of threefry, fused into the consumer."""
+    codec = policy.codec
+    B_full = B_local * data_shards
+    if codec == "golay":
+        full = (B_full, S, kv_heads_full,
+                swar.padded_values("golay", head_dim) // 3)
+    elif codec == "fp8":
+        full = (B_full, S, kv_heads_full, head_dim)
+    else:
+        full = (B_full, S, kv_heads_full, swar.padded_values(codec, head_dim))
+    mshard = jax.lax.axis_index("model")
+    dshard = jax.lax.axis_index("data")
+
+    def draw(key):
+        m = flip_mask_for(key, full, policy.ber, N_BITS[codec])
+        m = jax.lax.dynamic_slice_in_dim(
+            m, dshard * B_local, B_local, axis=0
+        )
+        return jax.lax.dynamic_slice_in_dim(
+            m, mshard * kv_heads_local, kv_heads_local, axis=2
+        )
+
+    return draw(kk), draw(vk)
+
+
 def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
               state, block_table, *, write: bool, fused_attend: bool,
-              block_size: int, step_key, mask2d=None):
-    """One transformer block on local shards; psums over 'model'."""
+              block_size: int, step_key, mask2d=None, collect_stats=False,
+              kv_heads_full=None, data_shards=1):
+    """One transformer block on local shards; psums over 'model'.
+
+    Returns (x, state, kstats) - kstats is the fused kernel's LOCAL
+    [B, 2] (corrected, detected) counts when collect_stats, else None
+    (the caller sums layers and psums once over 'model')."""
     B, S, E = x.shape
     H, Hkv, D = cfgl.num_heads, cfgl.num_kv_heads, cfgl.head_dim
+    if kv_heads_full is None:
+        kv_heads_full = Hkv
 
     if cfgl.arch == "gpt2":
         # c_attn was column-permuted at shard time (sharding.py:
@@ -102,21 +148,30 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
         k = apply_rope(k, positions, inv_freq)
 
     kk, vk = _layer_kv_key(policy, layer_idx, step_key)
-    # decorrelate injection across model shards
-    shard = jax.lax.axis_index("model")
-    kk = jax.random.fold_in(kk, shard)
-    vk = jax.random.fold_in(vk, shard)
-    if fused_attend and use_scrub(policy):
+    inject = (
+        policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
+    )
+    k_mask = v_mask = None
+    if inject and policy.codec != "fp16" and mask2d is None:
+        # full-draw + head-slice streams (see _shard_masks): bit-identical
+        # to the single-chip server's injection, shards decorrelated by
+        # owning disjoint head slices
+        k_mask, v_mask = _shard_masks(
+            policy, kk, vk, B, S, kv_heads_full, Hkv, D, data_shards
+        )
+    scrub_on = use_scrub(policy) and not collect_stats
+    if fused_attend and scrub_on:
         # decode hot path: fused encode+inject+scrub (one Pallas launch per
         # layer for golay, K and V batched - the unfused chain is
         # fusion-launch-bound per layer)
         (kc_st, ks), (vc_st, vs) = encode_kv_pair_scrubbed(
-            k, v, policy, kk, vk, mask2d=mask2d
+            k, v, policy, kk, vk, mask2d=mask2d, k_mask=k_mask, v_mask=v_mask
         )
     else:
-        kc, ks, _ = encode_kv(k, policy, kk)
-        vc, vs, _ = encode_kv(v, policy, vk)
-        if use_scrub(policy):
+        kc, ks, _ = encode_kv(k, policy, kk, mask=k_mask)
+        vc, vs, _ = encode_kv(v, policy, vk, mask=v_mask)
+        if use_scrub(policy) and not fused_attend:
+            # prefill scrubs through the jnp chain (runs once per sequence)
             kc_st = swar.scrub_codewords(policy.codec, kc)
             vc_st = swar.scrub_codewords(policy.codec, vc)
         else:
@@ -127,6 +182,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
         ks = vs = jnp.ones(kcp.shape[:3], jnp.float32)
     read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
 
+    kstats = None
     if fused_attend:
         ri_seed = (
             jax.random.bits(
@@ -137,13 +193,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
         )
         # fused write+attend: in-place aliased cache update, decode-phase
         # attention on the LOCAL kv-head shard (no collective)
-        (
-            attn,
-            state["k_cache"],
-            state["v_cache"],
-            state["k_scales"],
-            state["v_scales"],
-        ) = paged_attention_ecc_write_attend(
+        outs = paged_attention_ecc_write_attend(
             q[:, 0],
             kcp[:, 0],
             vcp[:, 0],
@@ -156,14 +206,24 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             block_table,
             state["context_len"] + 1,
             layer_idx,
-            scrub=use_scrub(policy),
+            scrub=scrub_on,
             codec=policy.codec,
             block_size=block_size,
             use_interpolation=policy.use_interpolation,
             read_inject_ber=float(policy.ber) if read else 0.0,
             read_inject_seed=ri_seed,
             sliding_window=cfgl.sliding_window,
+            collect_stats=collect_stats,
         )
+        (
+            attn,
+            state["k_cache"],
+            state["v_cache"],
+            state["k_scales"],
+            state["v_scales"],
+        ) = outs[:5]
+        if collect_stats:
+            kstats = outs[5]  # local [B, 2] int32
         attn = attn[:, None]
     else:
         if write:
@@ -171,13 +231,21 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
                 state, layer_idx, block_table, positions, kcp, vcp, ks, vs
             )
         if read:
+            # read-inject masks are drawn on the LOCAL shape, so the read
+            # keys fold the shard index for cross-shard decorrelation (the
+            # unprotected arm has no counter-parity requirement)
+            shard = jax.lax.axis_index("model")
             k_dec, _, _, _ = decode_kv(
                 kc, ks, policy, head_dim=D, seq_axis=1,
-                read_key=jax.random.fold_in(kk, 0x52454144),
+                read_key=jax.random.fold_in(
+                    jax.random.fold_in(kk, 0x52454144), shard
+                ),
             )
             v_dec, _, _, _ = decode_kv(
                 vc, vs, policy, head_dim=D, seq_axis=1,
-                read_key=jax.random.fold_in(vk, 0x52454144),
+                read_key=jax.random.fold_in(
+                    jax.random.fold_in(vk, 0x52454144), shard
+                ),
             )
         else:
             k_dec, _, _ = decode_kv(kc, ks, policy, head_dim=D, seq_axis=1)
@@ -199,7 +267,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             h @ lp["c_fc"]["w"] + lp["c_fc"]["b"], approximate=True
         )
         x = x + jax.lax.psum(h @ lp["mlp_proj"]["w"], "model") + lp["mlp_proj"]["b"]
-        return x, state
+        return x, state, kstats
     # row-sharded o_proj: partial sums -> psum over the model axis
     attn_out = jax.lax.psum(attn @ lp["o_proj"], "model")
     x = x + attn_out
@@ -207,7 +275,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     h = rms_norm(x, lp["post_attn_norm"], cfgl.rms_norm_eps)
     h = jax.nn.silu(h @ lp["gate_proj"]) * (h @ lp["up_proj"])
     x = x + jax.lax.psum(h @ lp["down_proj"], "model")
-    return x, state
+    return x, state, kstats
 
 
 def _embed_tp(params, ids, positions, cfg: ModelConfig):
@@ -233,7 +301,7 @@ def _lm_head_tp(params, x, cfgl: ModelConfig):
 
 
 def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
-                      block_size: int = 128):
+                      block_size: int = 128, collect_ecc_stats: bool = False):
     """Build (init_state, prefill, decode_step) closed over the mesh.
 
     All three are pjit-compiled with NamedShardings; prefill/decode run under
@@ -242,6 +310,16 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
     block_size defaults to 128: the fused write+attend kernel requires
     block_size % 128 == 0 on real TPUs (token-minor lane alignment) - smaller
     values only work in the CPU interpreter.
+
+    collect_ecc_stats=True makes the decode step return per-sequence
+    corrected/detected ECC counters in state["ecc_corrected"/"ecc_detected"]
+    ([B] int32, data-sharded): each model shard counts its local kv-heads'
+    errors in-kernel, the per-layer counts are summed locally and psum'd
+    ONCE over "model" per step. With the full-draw + head-slice injection
+    streams (_shard_masks) the totals are bit-identical to the single-chip
+    server's (reference get_ecc_stats, ecc_shim.py:1627). Like the
+    single-chip runtime, collecting disables write-path scrubbing (stats
+    count corrections per READ).
     """
     if cfg.arch not in ("llama", "gpt2"):
         raise NotImplementedError(f"TP runtime does not support '{cfg.arch}'")
@@ -290,10 +368,11 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         x = _embed_tp(params, ids, positions, cfg)
         inv_freq = inv_freq_fn()
         for i, lp in enumerate(params["layers"]):
-            x, state = _block_tp(
+            x, state, _ = _block_tp(
                 x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
                 write=True, fused_attend=False, block_size=block_size,
-                step_key=key,
+                step_key=key, kv_heads_full=cfg.num_kv_heads,
+                data_shards=dp,
             )
         x_last = jnp.take_along_axis(x, logit_pos[:, None, None], axis=1)
         logits = _lm_head_tp(params, x_last, cfgl)[:, 0]
@@ -306,11 +385,17 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         positions = pos[:, None]
         x = _embed_tp(params, tokens[:, None], positions, cfg)
         inv_freq = inv_freq_fn()
+        # the single-chip decode step's kv-key stream (models/runtime.py:
+        # _decode_step_impl folds 1000000 before the per-layer fold) - kept
+        # identical so the full-draw + head-slice masks reproduce the
+        # single-chip injection bit-for-bit
+        kv_base = jax.random.fold_in(key, 1000000)
+        scrub_on = use_scrub(policy) and not collect_ecc_stats
         # golay hoisted masks: all layers' (K, V) injection masks drawn in
-        # one batched threefry chain (see models/runtime.py) - per-shard,
-        # with the same shard fold as _block_tp's per-layer keys
+        # one batched threefry chain (see models/runtime.py) over the FULL
+        # kv-head set, head-sliced per shard, then pre-tiled
         hoist = (
-            use_scrub(policy)
+            scrub_on
             and policy.codec == "golay"
             and policy.inject_errors
             and policy.ber > 0
@@ -318,39 +403,68 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         )
         mask_tiles = None
         if hoist:
-            shard = jax.lax.axis_index("model")
-            lk = _stacked_layer_kv_keys(len(params["layers"]), key)
-            lk = jax.vmap(
-                jax.vmap(lambda kk: jax.random.fold_in(kk, shard))
-            )(lk)
+            mshard = jax.lax.axis_index("model")
+            dshard = jax.lax.axis_index("data")
+            lk = _stacked_layer_kv_keys(len(params["layers"]), kv_base)
             d12_shape = (
-                B, 1, cfgl.num_kv_heads,
-                swar.padded_values("golay", cfgl.head_dim) // 3,
+                B * dp, 1, cfg.num_kv_heads,
+                swar.padded_values("golay", cfg.head_dim) // 3,
             )
-            mask_tiles = golay_pair_mask_tiles(policy, lk, d12_shape)
+            mask_tiles = golay_pair_mask_tiles(
+                policy, lk, d12_shape,
+                head_slice=[
+                    (2, dshard * B, B),  # data-batch slice
+                    (4, mshard * cfgl.num_kv_heads, cfgl.num_kv_heads),
+                ],
+            )
+        corr = det = None
         for i, lp in enumerate(params["layers"]):
-            x, state = _block_tp(
+            x, state, kstats = _block_tp(
                 x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
                 write=True, fused_attend=True, block_size=block_size,
-                step_key=key,
+                step_key=kv_base,
                 mask2d=mask_tiles[i] if hoist else None,
+                collect_stats=collect_ecc_stats,
+                kv_heads_full=cfg.num_kv_heads,
+                data_shards=dp,
             )
+            if collect_ecc_stats:
+                corr = kstats[:, 0] if corr is None else corr + kstats[:, 0]
+                det = kstats[:, 1] if det is None else det + kstats[:, 1]
         logits = _lm_head_tp(params, x, cfgl)[:, 0]
         state["context_len"] = pos + 1
+        if collect_ecc_stats:
+            # one psum over the model axis per step: global per-sequence
+            # counters, identical on every shard
+            state["ecc_corrected"] = jax.lax.psum(corr, "model")
+            state["ecc_detected"] = jax.lax.psum(det, "model")
         return logits, state
 
-    def _wrap(fn, n_extra_data_args=0):
+    def _wrap(fn, n_extra_data_args=0, out_state_specs=None):
         extra = tuple(P("data") for _ in range(n_extra_data_args))
         shard_fn = jax.shard_map(
             fn,
             mesh=mesh,
             in_specs=(pspecs, data_spec, state_specs, P("data"), P()) + extra,
-            out_specs=(P("data"), state_specs),
+            out_specs=(P("data"), out_state_specs or state_specs),
             check_vma=False,
         )
         return jax.jit(shard_fn, donate_argnums=(2,))
 
-    return init_state, _wrap(_prefill_shard, 2), _wrap(_decode_shard)
+    decode_out_specs = state_specs
+    if collect_ecc_stats:
+        # the decode step ADDS the counter keys (the serving loop pops them
+        # after each step, so they are never inputs)
+        decode_out_specs = {
+            **state_specs,
+            "ecc_corrected": P("data"),
+            "ecc_detected": P("data"),
+        }
+    return (
+        init_state,
+        _wrap(_prefill_shard, 2),
+        _wrap(_decode_shard, out_state_specs=decode_out_specs),
+    )
 
 
 def generate_tp(

@@ -162,9 +162,14 @@ class ContinuousBatchingServer:
             self.policy, key, block_size=self.block_size,
             collect_ecc_stats=self.collect_ecc_stats,
         )
-        # POP (not get): leaving the counter keys in the state dict changes
-        # its pytree structure and forces a spurious prefill recompile at
-        # the next admission (every jitted step keys on the state treedef)
+        self._harvest_ecc()
+        return logits
+
+    def _harvest_ecc(self):
+        """Accumulate and POP the decode step's counter keys (not get:
+        leaving them in the state dict changes its pytree structure and
+        forces a spurious prefill recompile at the next admission - every
+        jitted step keys on the state treedef)."""
         if self.collect_ecc_stats:
             self._ecc_corrected += int(
                 jnp.sum(self.state.pop("ecc_corrected", 0))
@@ -172,7 +177,6 @@ class ContinuousBatchingServer:
             self._ecc_detected += int(
                 jnp.sum(self.state.pop("ecc_detected", 0))
             )
-        return logits
 
     @property
     def ecc_stats(self) -> dict:

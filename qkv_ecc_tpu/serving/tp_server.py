@@ -39,16 +39,18 @@ class TPContinuousBatchingServer(ContinuousBatchingServer):
         self.dp = mesh.shape["data"]
         self.tp = mesh.shape["model"]
         self._tp_params = shard_params(params, cfg, mesh)
-        # per-step ECC counters are not yet plumbed through the TP step
-        # functions; the single-chip server provides them
-        kw.setdefault("collect_ecc_stats", False)
         super().__init__(params, cfg, policy, **kw)
         assert self.max_batch % self.dp == 0, (
             f"max_batch {self.max_batch} must be divisible by the data-axis "
             f"size {self.dp}"
         )
+        # per-step ECC counters ride the TP decode step: in-kernel local
+        # counts, one psum over "model" per step (tp_runtime.make_tp_
+        # functions); with the full-draw + head-slice injection streams
+        # the totals are bit-identical to the single-chip server's
         self._init, self._tp_prefill, self._tp_decode = make_tp_functions(
-            cfg, policy, mesh, block_size=self.block_size
+            cfg, policy, mesh, block_size=self.block_size,
+            collect_ecc_stats=self.collect_ecc_stats,
         )
         # shard the cache state onto the mesh (kv-heads over "model")
         specs = cache_specs()
@@ -84,11 +86,16 @@ class TPContinuousBatchingServer(ContinuousBatchingServer):
 
     def _run_decode(self, tokens, block_table, key):
         self.state["context_len"] = jnp.asarray(self._context_lens())
+        # the decode step re-emits the counter keys; they must not be inputs
+        # (the shard_map in_specs match the counter-free state treedef)
+        self.state.pop("ecc_corrected", None)
+        self.state.pop("ecc_detected", None)
         # TP decode uses the fused write+attend kernel, which clamps -1
         # block-table entries to the trash page itself
         logits, self.state = self._tp_decode(
             self._tp_params, tokens, self.state, block_table, key
         )
+        self._harvest_ecc()
         return logits
 
 

@@ -320,3 +320,44 @@ class TestTPServing:
         outs = server.run()
         assert sorted(o.request_id for o in outs) == [0, 1, 2]
         assert all(len(o.token_ids) == 4 for o in outs)
+
+    @pytest.mark.parametrize("mode", ["int4-hamming84", "int12-golay"])
+    def test_tp_ecc_counters_match_single_chip(self, tiny, rng, mode):
+        """VERDICT round-3 item #6: collect_ecc_stats=True works on the TP
+        server, and its counters EQUAL the single-chip server's on the same
+        request stream. Exactness holds because (a) the TP injection masks
+        are head-slices of the full-shape draw the single-chip runtime makes
+        (tp_runtime._shard_masks - same keys, same threefry stream), and
+        (b) linear-code error classification depends only on the error
+        pattern (syndromes of received = syndromes of the mask), so counter
+        parity is immune to sampled-token divergence from TP float
+        reassociation."""
+        import dataclasses as dc
+
+        params, cfg = tiny
+        cfg8 = dc.replace(cfg, num_heads=8, num_kv_heads=4, head_dim=8,
+                          name="tp-serve-s")
+        params8 = init_params(cfg8, 3)
+        mesh = self._mesh(2, 2)
+        base = make_server(
+            params8, cfg8, mode=mode, ber=2e-2, max_batch=4,
+            collect_ecc_stats=True,
+        )
+        server = self._tp_server(
+            params8, cfg8, mesh, mode=mode, ber=2e-2,
+            collect_ecc_stats=True,
+        )
+        prompts = [rng.integers(0, cfg8.vocab_size, (n,)) for n in (9, 14)]
+        for srv in (base, server):
+            for i, p in enumerate(prompts):
+                srv.add_request(Request(i, p, max_new_tokens=5))
+            srv.run()
+        assert base.ecc_stats["errors_corrected"] > 0
+        # exact equality: decode-write masks are identical (global-batch
+        # full draw), and prefill writes are scrubbed (zero syndromes in
+        # both servers), so every counted syndrome matches bit-for-bit.
+        # (Full cache-state equality does NOT hold at BER>0: TP admission
+        # pads prefill to a data-axis batch, which changes the prefill
+        # mask stream - scrubbing keeps those pages valid but hamming84
+        # doubles preserve mask-dependent data.)
+        assert base.ecc_stats == server.ecc_stats
