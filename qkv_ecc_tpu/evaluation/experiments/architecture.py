@@ -144,7 +144,11 @@ def main(argv=None):
 
         os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
         base = os.path.splitext(args.output)[0]
-        plot_comparison(comparison, base + ".png")
+        if not plot_comparison(comparison, base + ".png"):
+            print(
+                "matplotlib unavailable; skipping PPL-vs-BER plot "
+                f"({base}.png not written)"
+            )
         with open(args.output, "w") as f:
             json.dump(comparison, f, indent=2, default=str)
         with open(base + ".txt", "w") as f:

@@ -199,58 +199,19 @@ def golay_write_scrub_tpu(data12, flip_mask):
     tiny-op overhead vs the unprotected int4 write chain, while this
     kernel's ~300-op serial VPU chain runs in ~1-2 us per launch. The
     threefry mask stays OUTSIDE (jnp flip_mask_for), so the injection
-    stream is identical to the unfused path."""
+    stream is identical to the unfused path.
+
+    SUPERSEDED in the runtimes (round 4) by the scrub-FOLDED mask design
+    (kernels/swar.py:scrub_fold_mask): the correction depends only on the
+    mask, so the hoisted bulk draw pre-folds it and the per-layer write is
+    plain quantize -> xor delta -> encode -> pack with no kernel launch.
+    Kept as the standalone fused form (and its differential test)."""
     return _tile_call(
         _golay_write_scrub_kernel,
         (jnp.asarray(data12, jnp.int32), jnp.asarray(flip_mask, jnp.int32)),
         [jnp.int32],
         sublanes=64,
     )
-
-
-def scrub_tile2d(x):
-    """Logical array -> the kernel-ready padded 2D tile view _tile_call
-    builds internally ([rows_padded, 512], rows padded to 8). Vmappable:
-    callers pre-tile an operand ONCE for many launches
-    (golay_write_scrub_tiled_tpu)."""
-    n = x.size
-    rows_padded = C.round_up(max(C.cdiv(n, _LANES), 1), 8)
-    return jnp.pad(jnp.ravel(x), (0, rows_padded * _LANES - n)).reshape(
-        rows_padded, _LANES
-    )
-
-
-@jax.jit
-def golay_write_scrub_tiled_tpu(data12, mask2d):
-    """golay_write_scrub_tpu with a PRE-TILED mask operand (scrub_tile2d
-    layout). Bit-identical output (tests/test_codecs.py). Exists because
-    materializing each layer's threefry mask chain into a Pallas operand
-    costs ~30 us/launch at decode shapes (~0.77 ms/step over 24 layers,
-    measured: zero-mask 5.44 vs current 6.21 ms/step while the jnp-fused
-    mask costs only 0.17 ms) - hoisting ALL layers' masks into one batched
-    draw+tile at the step top (models/kv_policy.py:golay_pair_mask_tiles)
-    leaves only a free static slice per layer."""
-    x2d = scrub_tile2d(jnp.asarray(data12, jnp.int32))
-    m2d = jnp.asarray(mask2d, jnp.int32)
-    if m2d.shape != x2d.shape:
-        raise ValueError(f"mask2d {m2d.shape} != tiled data {x2d.shape}")
-    rows_padded = x2d.shape[0]
-    bm = min(64, rows_padded)
-    out = pl.pallas_call(
-        _golay_write_scrub_kernel,
-        grid=(C.cdiv(rows_padded, bm),),
-        in_specs=[
-            pl.BlockSpec((bm, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(2)
-        ],
-        out_specs=pl.BlockSpec(
-            (bm, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows_padded, _LANES), jnp.int32),
-        interpret=C.use_interpret(),
-    )(x2d, m2d)
-    n = data12.size
-    return out.reshape(-1)[:n].reshape(data12.shape)
 
 
 def golay_encode_tpu(nibbles):

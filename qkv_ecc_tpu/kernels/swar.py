@@ -654,6 +654,46 @@ def golay_decode_wide(cw, *, zero_uncorrectable):
     return data, jnp.where(correctable, pc(e), 4)
 
 
+def scrub_fold_mask(codec: str, mask):
+    """Fold the write-path scrub INTO the injection mask (round-4 design).
+
+    For a linear code, the correction the scrub decoder applies to
+    `encode(q) ^ mask` depends only on the mask: syndromes are linear and
+    every valid codeword has syndrome 0, so s(encode(q) ^ mask) = s(mask)
+    and the decoder's error estimate e = e(mask). The scrubbed-and-stored
+    codeword is therefore
+
+        scrub_codewords(codec, encode(q) ^ mask)
+            == encode(q ^ delta)            delta = correct_data(mask)
+
+    i.e. the whole correction - INCLUDING golay's ~250-op IMLD - can run
+    on the mask alone, which the decode loop pre-draws in one bulk chain
+    across all layers and steps (models/kv_policy.py:hoisted_write_deltas).
+    The per-layer write chain collapses to quantize -> xor delta ->
+    encode -> pack for every codec: identical shape to the unprotected
+    int4 chain, no scrub kernel launch, no per-layer IMLD.
+
+    Returns the DATA-domain delta:
+      int4 / hamming74 / hamming84: nibble delta (<= 4 bits; mask shape)
+      golay: delta12 | (uncorrectable << 12) - apply as
+             d12' = where(bit12, 0, d12 ^ delta12) (uncorrectable scrubs
+             to the all-zero codeword; encode(0) == 0 by linearity)
+    """
+    from . import common as C
+
+    mask = jnp.asarray(mask, jnp.int32)
+    if codec == "int4":
+        return mask & 0xF
+    if codec == "hamming74":
+        return C.hamming74_correct_data_i32(mask)
+    if codec == "hamming84":
+        return C.hamming84_correct_data_i32(mask)
+    if codec == "golay":
+        d, cnt = golay_decode_wide(mask, zero_uncorrectable=False)
+        return d | ((cnt == 4).astype(jnp.int32) << 12)
+    raise ValueError(codec)
+
+
 def scrub_codewords(codec: str, cw):
     """Write-path scrub: decode each (possibly fault-injected) logical
     codeword and RE-ENCODE its corrected data, so the stored form is always

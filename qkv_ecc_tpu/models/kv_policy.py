@@ -25,13 +25,11 @@ from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
 from ..kernels.common import (
     hamming74_decode_i32,
+    hamming74_encode_i32,
     hamming84_decode_i32,
+    hamming84_encode_i32,
 )
 from ..kernels import swar
-from ..kernels.codec_kernels import (
-    golay_write_scrub_tiled_tpu,
-    golay_write_scrub_tpu,
-)
 
 _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 
@@ -65,6 +63,11 @@ class KVCachePolicy:
     # matter: read-time injection, interpolation, and per-read error-stat
     # collection (see models/runtime.py use_scrub).
     scrub: bool = True
+    # Measurement-isolation knob (scripts/rmw_iso.py): skip the fused
+    # kernel's parity-row read-modify-write. Decoded values are unaffected
+    # (scrub reads never touch parity) but the stored parity suffix goes
+    # STALE - timing experiments only, never production.
+    debug_no_parity_rmw: bool = False
 
     def with_seed(self, seed: int) -> "KVCachePolicy":
         return dataclasses.replace(self, seed=seed)
@@ -176,123 +179,106 @@ def encode_kv(x, policy: KVCachePolicy, key, mask=None):
     return enc, scale, flips
 
 
-def encode_kv_scrubbed(x, policy: KVCachePolicy, key, mask=None):
-    """encode_kv + write-path scrub, fused where it matters.
+def encode_kv_scrubbed(x, policy: KVCachePolicy, key, mask=None, folded=None):
+    """Quantize + encode with the write-path scrub FOLDED INTO the mask.
 
-    Bit-identical to `swar.scrub_codewords(codec, encode_kv(x)[0])` (the
-    threefry mask stream is unchanged), but golay routes
-    encode -> inject-XOR -> IMLD correct -> re-encode through ONE Pallas
-    launch (kernels/codec_kernels.py:golay_write_scrub_tpu): the unfused
-    jnp chain is fusion-launch-bound on tiny per-layer decode-step tensors
-    ([B, 1, Hkv, C4] x 24 strictly serial layers), measured ~2.5-3 ms/step
-    of pure overhead vs the int4 write chain at bench shapes.
+    Round-4 design (supersedes rounds 2-3's fused scrub kernel + pre-tiled
+    mask operands): for a linear code the scrub correction depends only on
+    the injection mask (kernels/swar.py:scrub_fold_mask), so
 
-    Returns (scrubbed codewords, scales).
-    """
+        scrub_codewords(codec, encode(q) ^ mask) == encode(q ^ fold(mask))
+
+    Bit-identical to `swar.scrub_codewords(codec, encode_kv(x)[0])` with
+    the same threefry stream (tests/test_codecs.py), but the per-layer
+    write chain is quantize -> xor delta -> encode -> pack for EVERY
+    codec - the same chain shape as unprotected int4, with no scrub Pallas
+    launch and no per-layer IMLD (golay's IMLD runs on the mask inside the
+    hoisted bulk draw, hoisted_write_deltas / models/runtime.py).
+
+    `mask`: pre-drawn logical-codeword mask (must equal flip_mask_for(key,
+    <enc shape>, ber, n_bits) bit-for-bit). `folded`: pre-FOLDED delta (a
+    hoisted_write_deltas slice); takes precedence over `mask`/`key`.
+
+    Returns (scrubbed codewords, scales)."""
     codec = policy.codec
     inject = (
         policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
     )
+    if codec in ("fp16", "fp8"):
+        enc, scale, _ = encode_kv(x, policy, key, mask=mask)
+        return enc, scale  # floats: nothing to scrub
+    x = jnp.asarray(x, jnp.float32)
+    q, scale = _quantize(x)
+    head_dim = x.shape[-1]
     if codec == "golay":
-        x = jnp.asarray(x, jnp.float32)
-        q, scale = _quantize(x)
-        d12 = swar.golay_data12(q, x.shape[-1])
-        if not inject:
-            # clean codewords scrub to themselves
-            return swar.golay_encode_wide(d12), scale
-        if mask is None:
-            mask = flip_mask_for(key, d12.shape, policy.ber, N_BITS[codec])
-        return golay_write_scrub_tpu(d12, mask.astype(jnp.int32)), scale
-    enc, scale, _ = encode_kv(x, policy, key, mask=mask)
-    return swar.scrub_codewords(codec, enc), scale
+        d12 = swar.golay_data12(q, head_dim)
+        if inject:
+            if folded is None:
+                if mask is None:
+                    mask = flip_mask_for(
+                        key, d12.shape, policy.ber, N_BITS[codec]
+                    )
+                folded = swar.scrub_fold_mask(codec, mask)
+            folded = folded.astype(jnp.int32)
+            d12 = jnp.where(
+                (folded >> 12) & 1 != 0, 0, d12 ^ (folded & 0xFFF)
+            )
+        return swar.golay_encode_wide(d12), scale
+    pv = swar.padded_values(codec, head_dim)
+    if pv - head_dim:
+        q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pv - head_dim)])
+    q = q.astype(jnp.int32) & 0xF
+    if inject:
+        if folded is None:
+            if mask is None:
+                mask = flip_mask_for(key, q.shape, policy.ber, N_BITS[codec])
+            folded = swar.scrub_fold_mask(codec, mask)
+        q = q ^ (folded.astype(jnp.int32) & 0xF)
+    if codec == "int4":
+        return q, scale
+    if codec == "hamming74":
+        return hamming74_encode_i32(q), scale
+    return hamming84_encode_i32(q), scale
 
 
 def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
-                            mask2d=None, k_mask=None, v_mask=None):
-    """encode_kv_scrubbed for a (K, V) pair, with the two golay scrub
-    kernels batched into ONE Pallas launch (stacked on a new leading axis).
-
-    Bit-identical to two encode_kv_scrubbed calls: the threefry masks are
-    still drawn per-tensor from (k_key, v_key) over the UNstacked d12
-    shape, so the injection streams (and every determinism/equality test)
-    are unchanged - only the launch count halves. The per-layer decode-step
-    write chain is launch/fusion-bound, not op-bound (CLAUDE.md).
-
-    `mask2d` (optional): this layer's PRE-TILED injection mask from
-    golay_pair_mask_tiles - the hoisted form that avoids materializing a
-    fresh per-layer mask chain into the kernel operand (~30 us/layer,
-    the dominant golay write cost once everything else is fused). Must
-    have been drawn from the same (k_key, v_key).
-
-    `k_mask`/`v_mask` (optional): pre-drawn LOGICAL codeword masks - for
-    the non-golay codecs forwarded to encode_kv (the decode loop's
-    bulk-draw hoist, models/runtime.py); for golay, d12-shaped 24-bit
-    masks consumed directly by the fused scrub kernel (the TP runtime's
-    full-draw + head-slice streams, parallel/tp_runtime.py).
+                            k_mask=None, v_mask=None, k_folded=None,
+                            v_folded=None):
+    """encode_kv_scrubbed for a (K, V) pair - kept as the runtimes' write
+    entry point. With the scrub folded into the mask there is nothing left
+    to batch across the pair: each tensor is one fused jnp chain.
 
     Returns ((k_codewords, k_scales), (v_codewords, v_scales))."""
-    codec = policy.codec
-    inject = (
-        policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
+    return (
+        encode_kv_scrubbed(k, policy, k_key, mask=k_mask, folded=k_folded),
+        encode_kv_scrubbed(v, policy, v_key, mask=v_mask, folded=v_folded),
     )
-    if codec != "golay" or not inject:
-        return (
-            encode_kv_scrubbed(k, policy, k_key, mask=k_mask),
-            encode_kv_scrubbed(v, policy, v_key, mask=v_mask),
-        )
-    k = jnp.asarray(k, jnp.float32)
-    v = jnp.asarray(v, jnp.float32)
-    qk, k_scale = _quantize(k)
-    qv, v_scale = _quantize(v)
-    dk = swar.golay_data12(qk, k.shape[-1])
-    dv = swar.golay_data12(qv, v.shape[-1])
-    if mask2d is not None:
-        out = golay_write_scrub_tiled_tpu(jnp.stack([dk, dv]), mask2d)
-    else:
-        if k_mask is None:
-            k_mask = flip_mask_for(k_key, dk.shape, policy.ber, N_BITS[codec])
-            v_mask = flip_mask_for(v_key, dv.shape, policy.ber, N_BITS[codec])
-        out = golay_write_scrub_tpu(
-            jnp.stack([dk, dv]),
-            jnp.stack([k_mask, v_mask]).astype(jnp.int32),
-        )
-    return (out[0], k_scale), (out[1], v_scale)
 
 
-def golay_pair_mask_tiles(policy: KVCachePolicy, layer_keys, d12_shape,
-                          head_slice=None):
-    """Hoisted golay injection masks for EVERY layer's (K, V) write, drawn
-    bit-identically to the per-layer flip_mask_for calls (vmapped threefry
-    produces the same bits per key as separate calls) and pre-tiled into
-    the scrub kernel's 2D layout in ONE fusion chain.
+def hoisted_write_deltas(policy: KVCachePolicy, layer_keys, enc_shape):
+    """EVERY layer's (K, V) write-path delta in ONE vmapped chain: draw the
+    per-layer injection masks (bit-identically to the per-layer
+    flip_mask_for calls - vmapped threefry equals the scalar calls) and
+    fold the scrub into each (swar.scrub_fold_mask). The decode loop
+    additionally vmaps this over steps, so all of golay's IMLD work runs
+    in one bulk dispatch-amortized chain; each layer's write consumes a
+    FREE slice (encode_kv_scrubbed(folded=...)).
 
-    Per-layer mask generation inside the unrolled decode step costs
-    ~0.77 ms/step at bench shapes - not the threefry arithmetic (~0.17 ms
-    when XLA fuses it into a jnp consumer) but materializing 24 separate
-    tiny mask chains into Pallas operands. Hoisting leaves a single
-    [L, rows, 512] buffer; each layer takes a FREE static slice.
-
-    layer_keys: [L, 2] stacked typed keys ((k_key, v_key) per layer, built
-    with the same fold_in chain as models/runtime.py:_layer_kv_key).
-    `head_slice` (optional list of (axis, start, size), starts may be
-    traced): draw the FULL d12_shape mask, then keep only the given slices
-    of the [L, 2] + d12_shape array before tiling - the TP runtime's
-    full-draw + shard-slice scheme (each shard consumes its
-    (data-batch, kv-head) slice of the SAME per-layer stream, so the
-    sharded cache state stays bit-identical to single-chip).
-    Returns int32 [L, rows_padded, 512]."""
-    from ..kernels.codec_kernels import scrub_tile2d
-
+    layer_keys: [L, 2] stacked typed keys ((k_key, v_key) per layer, the
+    models/runtime.py:_layer_kv_key chain). enc_shape: the logical mask
+    shape - d12 shape for golay, padded nibble shape otherwise.
+    Returns [L, 2] + enc_shape: uint8 (nibble deltas) or uint16 for golay
+    (delta12 | uncorrectable << 12)."""
     L = layer_keys.shape[0]
     flat = layer_keys.reshape(2 * L)
-    masks = jax.vmap(
-        lambda kk: flip_mask_for(kk, d12_shape, policy.ber, N_BITS["golay"])
-    )(flat)
-    masks = masks.reshape((L, 2) + tuple(d12_shape))
-    if head_slice is not None:
-        for axis, start, size in head_slice:
-            masks = jax.lax.dynamic_slice_in_dim(masks, start, size, axis=axis)
-    return jax.vmap(scrub_tile2d)(masks)
+    n_bits = N_BITS[policy.codec]
+
+    def one(kk):
+        m = flip_mask_for(kk, enc_shape, policy.ber, n_bits)
+        return swar.scrub_fold_mask(policy.codec, m)
+
+    d = jax.vmap(one)(flat).reshape((L, 2) + tuple(enc_shape))
+    return d.astype(jnp.uint16 if policy.codec == "golay" else jnp.uint8)
 
 
 def pack_kv(enc, policy: KVCachePolicy, head_dim: int):

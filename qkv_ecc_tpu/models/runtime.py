@@ -38,7 +38,7 @@ from .kv_policy import (
     encode_kv,
     encode_kv_pair_scrubbed,
     encode_kv_scrubbed,
-    golay_pair_mask_tiles,
+    hoisted_write_deltas,
     pack_kv,
 )
 from .layers import apply_rope, causal_attention, layer_norm, rms_norm, rope_frequencies
@@ -242,24 +242,37 @@ def _write_inject(policy) -> bool:
     )
 
 
-def _golay_hoist_applies(policy, collect_ecc_stats):
-    """True when the decode step draws golay injection masks via the hoisted
-    pre-tiled chain (see golay_pair_mask_tiles)."""
+def _write_mask_shape(policy, batch, cfg):
+    """Logical injection-mask shape for one decode token's (K or V) write:
+    the d12 codeword array for golay, padded nibbles otherwise."""
+    if policy.codec == "golay":
+        return (batch, 1, cfg.num_kv_heads,
+                swar.padded_values("golay", cfg.head_dim) // 3)
+    return (batch, 1, cfg.num_kv_heads,
+            swar.padded_values(policy.codec, cfg.head_dim))
+
+
+def _folded_hoist_applies(policy, collect_ecc_stats):
+    """True when the decode step consumes hoisted FOLDED write deltas
+    (scrub_fold_mask of the per-layer masks; kv_policy.hoisted_write_
+    deltas) - the scrubbed write path of every ECC codec."""
     return (
         _use_scrub(policy)
         and not collect_ecc_stats
-        and policy.codec == "golay"
         and _write_inject(policy)
     )
 
 
 def _logical_hoist_applies(policy, collect_ecc_stats):
-    """True when the decode step consumes hoisted LOGICAL codeword masks
-    (uint8 slices of one bulk draw; int4/hamming codecs - their masks fit
-    8 bits per element and XOR into the logical codewords via encode_kv)."""
+    """True when the decode step consumes hoisted RAW logical-codeword
+    masks (uint8 slices of one bulk draw, XOR'd inside encode_kv): the
+    UNscrubbed write-inject paths whose masks fit 8 bits - int4 always,
+    hamming74/84 when scrub is off (always-decode / stats collection).
+    Golay's 24-bit masks stay per-layer there (the always-decode arm is
+    the reference-semantics path, not the perf path)."""
     return (
         not collect_ecc_stats
-        and not _golay_hoist_applies(policy, collect_ecc_stats)
+        and not _folded_hoist_applies(policy, collect_ecc_stats)
         and policy.codec in ("int4", "hamming74", "hamming84")
         and _write_inject(policy)
     )
@@ -299,48 +312,40 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
         if read
         else 0
     )
-    # golay hoisted masks: draw EVERY layer's (K, V) injection mask in one
-    # batched threefry chain at the step top, pre-tiled into the scrub
-    # kernel's 2D layout. Bit-identical streams to the per-layer draws;
-    # avoids materializing 2L separate tiny mask chains into Pallas
-    # operands (~30 us each = ~0.77 ms/step at bench shapes, the dominant
-    # golay write cost once everything else is fused).
-    hoist = _golay_hoist_applies(policy, collect_ecc_stats)
+    # hoisted write deltas: draw EVERY layer's (K, V) injection mask in one
+    # batched threefry chain at the step top and FOLD the scrub into it
+    # (kv_policy.hoisted_write_deltas). Bit-identical streams to the
+    # per-layer draws; avoids materializing 2L separate tiny mask chains
+    # into downstream consumers (~30 us each = ~0.77 ms/step at bench
+    # shapes) and moves ALL scrub-correction work (incl. golay's IMLD)
+    # out of the per-layer chain.
+    folded_hoist = _folded_hoist_applies(policy, collect_ecc_stats)
     logical_hoist = (
         hoisted_masks is not None
         and _logical_hoist_applies(policy, collect_ecc_stats)
     )
-    if hoist:
-        if hoisted_masks is not None:
-            # decode_loop pre-drew EVERY step's tiles before the scan
-            # (bit-identical stream; see decode_loop)
-            mask_tiles = hoisted_masks
-        else:
-            kv_key = jax.random.fold_in(step_key, 1000000)
-            d12_shape = (
-                B, 1, cfg.num_kv_heads,
-                swar.padded_values("golay", cfg.head_dim) // 3,
-            )
-            mask_tiles = golay_pair_mask_tiles(
-                policy,
-                _stacked_layer_kv_keys(len(params["layers"]), kv_key),
-                d12_shape,
-            )
+    if folded_hoist and hoisted_masks is None:
+        # standalone decode_step (serving): hoist within the step
+        kv_key = jax.random.fold_in(step_key, 1000000)
+        hoisted_masks = hoisted_write_deltas(
+            policy,
+            _stacked_layer_kv_keys(len(params["layers"]), kv_key),
+            _write_mask_shape(policy, B, cfg),
+        )
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
-        lk_mask = hoisted_masks[i, 0] if logical_hoist else None
-        lv_mask = hoisted_masks[i, 1] if logical_hoist else None
         if use_scrub:
-            # fused encode+inject+scrub (one Pallas launch per layer for
-            # golay, K and V batched): the per-layer jnp chain is
-            # fusion-launch-bound at decode shapes
+            # scrub-folded write: quantize -> xor delta -> encode -> pack,
+            # the same per-layer chain shape as unprotected int4
             (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(
                 k, v, policy, kk, vk,
-                mask2d=mask_tiles[i] if hoist else None,
-                k_mask=lk_mask, v_mask=lv_mask,
+                k_folded=hoisted_masks[i, 0] if folded_hoist else None,
+                v_folded=hoisted_masks[i, 1] if folded_hoist else None,
             )
         else:
+            lk_mask = hoisted_masks[i, 0] if logical_hoist else None
+            lv_mask = hoisted_masks[i, 1] if logical_hoist else None
             kc, ks, _ = encode_kv(k, policy, kk, mask=lk_mask)
             vc, vs, _ = encode_kv(v, policy, vk, mask=lv_mask)
         kc = pack_kv(kc, policy, cfg.head_dim)
@@ -371,6 +376,7 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
             read_inject_seed=ri_seed,
             sliding_window=cfg.sliding_window,
             collect_stats=collect_ecc_stats,
+            debug_no_parity_rmw=policy.debug_no_parity_rmw,
         )
         (
             attn,
@@ -441,28 +447,31 @@ def decode_loop(params, logits, state, block_table, cfg: ModelConfig,
     # per-step draws (vmapped fold_in/threefry == the scalar calls), but the
     # ~0.17 ms/step of serial mask arithmetic at the head of each step
     # becomes one bulk draw amortized across the whole dispatch; the scan
-    # body takes a free dynamic slice. Golay gets pre-tiled scrub-kernel
-    # operands (int32 24-bit masks); the int4/hamming codecs' masks fit
-    # uint8 logical-codeword slices XOR'd inside encode_kv. Applied to the
-    # BASELINE (int4-write-inject) too, so protected-vs-unprotected ratios
-    # compare equal injection machinery.
+    # body takes a free dynamic slice. Scrubbed codecs get FOLDED deltas
+    # (scrub correction pre-applied to the mask - incl. golay's IMLD, which
+    # thereby leaves the per-layer chain entirely; swar.scrub_fold_mask);
+    # unscrubbed int4/hamming get raw uint8 logical-codeword masks XOR'd
+    # inside encode_kv. Applied to the BASELINE (int4-write-inject) too, so
+    # protected-vs-unprotected ratios compare equal injection machinery.
+    # Memory bound: the hoisted buffer grows linearly with num_steps -
+    # uint8/uint16 [steps, L, 2, B, 1, Hkv, <=pv], ~35-50 MB at bench
+    # shapes (128 steps x 24 layers). Callers scanning thousands of steps
+    # should chunk decode_loop into a few hundred steps per call (the
+    # bench/serving shapes never exceed 128).
     all_tiles = None
     L = len(params["layers"])
-    if _golay_hoist_applies(policy, collect_ecc_stats):
-        d12_shape = (
-            B, 1, cfg.num_kv_heads,
-            swar.padded_values("golay", cfg.head_dim) // 3,
-        )
+    if _folded_hoist_applies(policy, collect_ecc_stats):
+        shape = _write_mask_shape(policy, B, cfg)
 
-        def step_tiles(step):
+        def step_deltas(step):
             kv_key = jax.random.fold_in(
                 jax.random.fold_in(base_key, step), 1000000
             )
-            return golay_pair_mask_tiles(
-                policy, _stacked_layer_kv_keys(L, kv_key), d12_shape
+            return hoisted_write_deltas(
+                policy, _stacked_layer_kv_keys(L, kv_key), shape
             )
 
-        all_tiles = jax.vmap(step_tiles)(jnp.arange(num_steps))
+        all_tiles = jax.vmap(step_deltas)(jnp.arange(num_steps))
     elif _logical_hoist_applies(policy, collect_ecc_stats):
         from ..codecs.fault_injection import flip_mask_for
         from .kv_policy import N_BITS

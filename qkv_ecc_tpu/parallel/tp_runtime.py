@@ -44,7 +44,7 @@ from ..models.kv_policy import (
     decode_kv,
     encode_kv,
     encode_kv_pair_scrubbed,
-    golay_pair_mask_tiles,
+    hoisted_write_deltas,
     pack_kv,
 )
 from ..models.layers import (
@@ -115,8 +115,8 @@ def _shard_masks(policy, kk, vk, B_local, S, kv_heads_full, kv_heads_local,
 
 def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
               state, block_table, *, write: bool, fused_attend: bool,
-              block_size: int, step_key, mask2d=None, collect_stats=False,
-              kv_heads_full=None, data_shards=1):
+              block_size: int, step_key, k_folded=None, v_folded=None,
+              collect_stats=False, kv_heads_full=None, data_shards=1):
     """One transformer block on local shards; psums over 'model'.
 
     Returns (x, state, kstats) - kstats is the fused kernel's LOCAL
@@ -152,20 +152,21 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
         policy.inject_errors and policy.ber > 0 and policy.inject_at == "write"
     )
     k_mask = v_mask = None
-    if inject and policy.codec != "fp16" and mask2d is None:
-        # full-draw + head-slice streams (see _shard_masks): bit-identical
+    if inject and policy.codec != "fp16" and k_folded is None:
+        # full-draw + shard-slice streams (see _shard_masks): bit-identical
         # to the single-chip server's injection, shards decorrelated by
-        # owning disjoint head slices
+        # owning disjoint slices
         k_mask, v_mask = _shard_masks(
             policy, kk, vk, B, S, kv_heads_full, Hkv, D, data_shards
         )
     scrub_on = use_scrub(policy) and not collect_stats
     if fused_attend and scrub_on:
-        # decode hot path: fused encode+inject+scrub (one Pallas launch per
-        # layer for golay, K and V batched - the unfused chain is
-        # fusion-launch-bound per layer)
+        # decode hot path: scrub-folded write (quantize -> xor delta ->
+        # encode -> pack; kv_policy.encode_kv_scrubbed). k_folded/v_folded
+        # carry the hoisted pre-folded deltas when the caller drew them.
         (kc_st, ks), (vc_st, vs) = encode_kv_pair_scrubbed(
-            k, v, policy, kk, vk, mask2d=mask2d, k_mask=k_mask, v_mask=v_mask
+            k, v, policy, kk, vk, k_mask=k_mask, v_mask=v_mask,
+            k_folded=k_folded, v_folded=v_folded,
         )
     else:
         kc, ks, _ = encode_kv(k, policy, kk, mask=k_mask)
@@ -391,31 +392,39 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         # single-chip injection bit-for-bit
         kv_base = jax.random.fold_in(key, 1000000)
         scrub_on = use_scrub(policy) and not collect_ecc_stats
-        # golay hoisted masks: all layers' (K, V) injection masks drawn in
-        # one batched threefry chain (see models/runtime.py) over the FULL
-        # kv-head set, head-sliced per shard, then pre-tiled
+        # hoisted write deltas: all layers' (K, V) injection masks drawn
+        # and scrub-FOLDED in one batched threefry chain (see
+        # models/runtime.py) over the FULL shapes, shard-sliced
         hoist = (
             scrub_on
-            and policy.codec == "golay"
             and policy.inject_errors
             and policy.ber > 0
             and policy.inject_at == "write"
         )
-        mask_tiles = None
+        deltas = None
         if hoist:
             mshard = jax.lax.axis_index("model")
             dshard = jax.lax.axis_index("data")
             lk = _stacked_layer_kv_keys(len(params["layers"]), kv_base)
-            d12_shape = (
-                B * dp, 1, cfg.num_kv_heads,
-                swar.padded_values("golay", cfg.head_dim) // 3,
+            if policy.codec == "golay":
+                full_shape = (
+                    B * dp, 1, cfg.num_kv_heads,
+                    swar.padded_values("golay", cfg.head_dim) // 3,
+                )
+            else:
+                full_shape = (
+                    B * dp, 1, cfg.num_kv_heads,
+                    swar.padded_values(policy.codec, cfg.head_dim),
+                )
+            deltas = hoisted_write_deltas(policy, lk, full_shape)
+            # slice this shard's (data-batch, kv-head) portion of the
+            # full-shape stream (fold commutes with slicing - it is
+            # elementwise per codeword)
+            deltas = jax.lax.dynamic_slice_in_dim(
+                deltas, dshard * B, B, axis=2
             )
-            mask_tiles = golay_pair_mask_tiles(
-                policy, lk, d12_shape,
-                head_slice=[
-                    (2, dshard * B, B),  # data-batch slice
-                    (4, mshard * cfgl.num_kv_heads, cfgl.num_kv_heads),
-                ],
+            deltas = jax.lax.dynamic_slice_in_dim(
+                deltas, mshard * cfgl.num_kv_heads, cfgl.num_kv_heads, axis=4
             )
         corr = det = None
         for i, lp in enumerate(params["layers"]):
@@ -423,7 +432,8 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
                 x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
                 write=True, fused_attend=True, block_size=block_size,
                 step_key=kv_base,
-                mask2d=mask_tiles[i] if hoist else None,
+                k_folded=deltas[i, 0] if hoist else None,
+                v_folded=deltas[i, 1] if hoist else None,
                 collect_stats=collect_ecc_stats,
                 kv_heads_full=cfg.num_kv_heads,
                 data_shards=dp,

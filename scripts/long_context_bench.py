@@ -63,6 +63,19 @@ def main():
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (batch, 128)))
 
+    # measure THIS session's host-fetch RTT instead of assuming 25 ms: the
+    # tunnel's RTT varies by session, and a fixed subtraction biases the
+    # absolute ms_per_step (ratios are unaffected - both arms share it)
+    probe = jnp.zeros((1,), jnp.int32) + 1
+    _ = np.asarray(probe)
+    rtts = []
+    for _i in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe)
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+    print(f"  host-fetch RTT: {rtt*1e3:.1f} ms", file=sys.stderr)
+
     class Arm:
         def __init__(self, mode):
             self.mode = mode
@@ -96,7 +109,7 @@ def main():
                 self.policy, jax.random.fold_in(self.key, r), DECODE_TOKENS,
             )
             _ = np.asarray(toks[-1])
-            return time.perf_counter() - t0 - 0.025  # one host-fetch RTT
+            return time.perf_counter() - t0 - rtt  # one measured host fetch
 
     arms = [Arm(m) for m in modes]
     for a in arms:
@@ -128,18 +141,22 @@ def main():
             )
         results.append(tier)
 
+    device_kind = jax.devices()[0].device_kind
     out = {
         "model": cfg.name,
-        "device": jax.devices()[0].device_kind,
+        "device": device_kind,
         "batch": batch,
         "decode_tokens_per_round": DECODE_TOKENS,
         "rounds": ROUNDS,
         "ber": 1e-2,
+        "host_fetch_rtt_ms": round(rtt * 1e3, 2),
         "tiers": results,
     }
-    path = f"results/long_context_{protected}_v5e.json"
+    slug = device_kind.lower().replace(" ", "-")
+    path = f"results/long_context_{protected}_{slug}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps(out))
 
 

@@ -362,35 +362,80 @@ def test_encode_kv_pair_scrubbed_matches_per_tensor(rng):
             assert jnp.array_equal(ks, ks_ref) and jnp.array_equal(vs, vs_ref)
 
 
-def test_golay_hoisted_mask_tiles_bit_identical(rng):
-    """The hoisted all-layers mask draw (golay_pair_mask_tiles + pre-tiled
-    scrub launch) produces the SAME codewords as the per-layer
-    flip_mask_for path - the injection streams must not shift when the
-    decode step hoists mask generation to the step top."""
+def test_scrub_fold_mask_algebra(rng):
+    """The round-4 write path rests on one identity: for a linear code,
+
+        scrub_codewords(codec, encode(q) ^ mask) == encode(q ^ fold(mask))
+
+    with fold = swar.scrub_fold_mask (the data correction the decoder
+    would apply to the mask alone). Checked bit-for-bit for every codec at
+    mask densities up to 12% per bit (covers singles, doubles, golay
+    triples, miscorrections, and uncorrectable -> zero-codeword cases)."""
+    import jax.numpy as jnp
+    from qkv_ecc_tpu.kernels import swar
+
+    q = jnp.asarray(rng.integers(0, 16, (4, 1, 8, 96)), jnp.int32)
+    for codec, n_bits in (("int4", 4), ("hamming74", 7), ("hamming84", 8)):
+        enc = swar.encode_codewords(codec, q, 96)
+        bits = rng.random(enc.shape + (n_bits,)) < 0.12
+        mask = jnp.asarray(
+            (bits << np.arange(n_bits)).sum(-1), jnp.int32
+        )
+        ref = swar.scrub_codewords(codec, enc ^ mask)
+        delta = swar.scrub_fold_mask(codec, mask)
+        qp = jnp.pad(q, [(0, 0)] * 3 + [(0, enc.shape[-1] - 96)])
+        got = swar.encode_codewords(codec, (qp ^ delta) & 0xF, enc.shape[-1])
+        assert jnp.array_equal(ref, got), codec
+    # golay: 24-bit masks, uncorrectable scrubs to the all-zero codeword
+    d12 = jnp.asarray(rng.integers(0, 4096, (4, 1, 8, 44)), jnp.int32)
+    bits = rng.random((4, 1, 8, 44, 24)) < 0.12
+    mask = jnp.asarray((bits << np.arange(24)).sum(-1), jnp.int32)
+    ref = swar.scrub_codewords("golay", swar.golay_encode_wide(d12) ^ mask)
+    delta = swar.scrub_fold_mask("golay", mask)
+    d = jnp.where((delta >> 12) & 1 != 0, 0, d12 ^ (delta & 0xFFF))
+    assert jnp.array_equal(ref, swar.golay_encode_wide(d))
+    # a zero mask folds to a zero delta (clean writes store the encode)
+    assert jnp.array_equal(
+        swar.scrub_fold_mask("golay", jnp.zeros_like(mask)),
+        jnp.zeros_like(mask),
+    )
+
+
+def test_hoisted_write_deltas_bit_identical(rng):
+    """The hoisted all-layers folded-delta draw (hoisted_write_deltas)
+    produces the SAME codewords as the per-layer draw-and-fold path - the
+    injection streams must not shift when the decode step hoists mask
+    generation (and the scrub fold, incl. golay's IMLD) to the step top."""
     import jax
     import jax.numpy as jnp
     from qkv_ecc_tpu.kernels import swar
     from qkv_ecc_tpu.models.kv_policy import (
-        KVCachePolicy, encode_kv_pair_scrubbed, golay_pair_mask_tiles)
+        KVCachePolicy, encode_kv_pair_scrubbed, hoisted_write_deltas)
     from qkv_ecc_tpu.models.runtime import (
         _layer_kv_key, _stacked_layer_kv_keys)
 
     L, B, H, D = 3, 2, 4, 64
-    pol = KVCachePolicy(codec="golay", ber=2e-2, inject_errors=True, seed=7)
-    step_key = jax.random.fold_in(jax.random.key(5), 1000000)
-    d12_shape = (B, 1, H, swar.padded_values("golay", D) // 3)
-    tiles = golay_pair_mask_tiles(
-        pol, _stacked_layer_kv_keys(L, step_key), d12_shape
-    )
-    for i in range(L):
-        k = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
-        kk, vk = _layer_kv_key(pol, i, step_key)
-        (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(
-            k, v, pol, kk, vk, mask2d=tiles[i]
+    for codec in ("golay", "hamming84", "hamming74"):
+        pol = KVCachePolicy(codec=codec, ber=2e-2, inject_errors=True, seed=7)
+        step_key = jax.random.fold_in(jax.random.key(5), 1000000)
+        if codec == "golay":
+            shape = (B, 1, H, swar.padded_values("golay", D) // 3)
+        else:
+            shape = (B, 1, H, swar.padded_values(codec, D))
+        deltas = hoisted_write_deltas(
+            pol, _stacked_layer_kv_keys(L, step_key), shape
         )
-        (kc_r, ks_r), (vc_r, vs_r) = encode_kv_pair_scrubbed(
-            k, v, pol, kk, vk
-        )
-        assert jnp.array_equal(kc, kc_r) and jnp.array_equal(vc, vc_r), i
-        assert jnp.array_equal(ks, ks_r) and jnp.array_equal(vs, vs_r)
+        for i in range(L):
+            k = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+            v = jnp.asarray(rng.standard_normal((B, 1, H, D)), jnp.float32)
+            kk, vk = _layer_kv_key(pol, i, step_key)
+            (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(
+                k, v, pol, kk, vk,
+                k_folded=deltas[i, 0], v_folded=deltas[i, 1],
+            )
+            (kc_r, ks_r), (vc_r, vs_r) = encode_kv_pair_scrubbed(
+                k, v, pol, kk, vk
+            )
+            assert jnp.array_equal(kc, kc_r) and jnp.array_equal(vc, vc_r), (
+                codec, i)
+            assert jnp.array_equal(ks, ks_r) and jnp.array_equal(vs, vs_r)
