@@ -139,8 +139,17 @@ def main():
     # each cross-mode ratio comes from back-to-back tunnel conditions -
     # per-mode blocks minutes apart let tunnel drift corrupt the headline
     # ratio (CLAUDE.md: ratios measured back-to-back are the only reliable
-    # signal; absolute ms vary ~2x across sessions).
-    arms = [Arm("int12-golay"), Arm("int4-hamming84"), Arm("int4-write-inject")]
+    # signal; absolute ms vary ~2x across sessions). Every protected
+    # CACHE_MODE has an arm (VERDICT r3 #5): hamming74 scrubs like the
+    # others; hamming84-interp needs per-read doubles masks, so it runs
+    # the always-decode path on FULL rows - its honest extra cost.
+    arms = [
+        Arm("int12-golay"),
+        Arm("int4-hamming84"),
+        Arm("int4-hamming"),
+        Arm("int4-hamming84-interp"),
+        Arm("int4-write-inject"),
+    ]
     for arm in arms:
         arm.warmup()
     for r in range(TIMED_ROUNDS):
@@ -148,7 +157,9 @@ def main():
             arm.timed_round(r)
     golay_tps, golay_bw = report(arms[0])
     h84_tps, h84_bw = report(arms[1])
-    int4_tps, int4_bw = report(arms[2])
+    h74_tps, _ = report(arms[2])
+    interp_tps, _ = report(arms[3])
+    int4_tps, int4_bw = report(arms[4])
 
     print(
         json.dumps(
@@ -159,6 +170,10 @@ def main():
                 "vs_baseline": round(golay_tps / int4_tps, 4),
                 "hamming84_tokens_per_sec": round(h84_tps, 2),
                 "hamming84_vs_unprotected": round(h84_tps / int4_tps, 4),
+                "hamming74_tokens_per_sec": round(h74_tps, 2),
+                "hamming74_vs_unprotected": round(h74_tps / int4_tps, 4),
+                "h84_interp_tokens_per_sec": round(interp_tps, 2),
+                "h84_interp_vs_unprotected": round(interp_tps / int4_tps, 4),
                 "unprotected_int4_tokens_per_sec": round(int4_tps, 2),
                 "unprotected_hbm_gbps": round(int4_bw, 1),
                 "hamming84_hbm_gbps": round(h84_bw, 1),

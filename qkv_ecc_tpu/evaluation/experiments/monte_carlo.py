@@ -66,7 +66,7 @@ def run_monte_carlo_experiment(config: MonteCarloConfig, progress=print):
     )
     progress(f"Loading evaluation texts (max {config.max_samples})...")
     texts = None
-    if config.model in ("trained-tiny", "trained-word"):
+    if config.model in ("trained-tiny", "trained-word", "trained-100m"):
         # evaluate on the held-out split saved next to the checkpoint
         # (data the model never trained on; train_tiny.py writes it)
         import json
@@ -74,6 +74,7 @@ def run_monte_carlo_experiment(config: MonteCarloConfig, progress=print):
         default = {
             "trained-tiny": "results/trained_tiny/checkpoint.npz",
             "trained-word": "results/trained_word/checkpoint.npz",
+            "trained-100m": "results/trained_100m/checkpoint.npz",
         }[config.model]
         ckpt = os.environ.get("QKV_TINY_CHECKPOINT", default)
         tp = ckpt + ".eval_texts.json"

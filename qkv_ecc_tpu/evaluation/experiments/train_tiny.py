@@ -27,9 +27,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "--model", default="trained-tiny",
-        choices=["trained-tiny", "trained-word"],
+        choices=["trained-tiny", "trained-word", "trained-100m"],
         help="trained-tiny: byte-level; trained-word: 8k word vocab "
-        "(enough PPL dynamic range for the catastrophic-INT4 demo)",
+        "(enough PPL dynamic range for the catastrophic-INT4 demo); "
+        "trained-100m: ~100M-param llama-arch GQA word-level model",
     )
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--batch", type=int, default=32)
@@ -56,7 +57,7 @@ def main(argv=None):
         f"eval texts ({time.time()-t0:.1f}s)",
         file=sys.stderr,
     )
-    if args.model == "trained-word":
+    if args.model in ("trained-word", "trained-100m"):
         from ...training.corpus import WordTokenizer
         import numpy as np
 
@@ -83,7 +84,7 @@ def main(argv=None):
 
     params, final_loss = train_tiny(cfg, corpus, tcfg, progress)
     save_params(params, args.output, cfg)
-    if args.model == "trained-word":
+    if args.model in ("trained-word", "trained-100m"):
         tok.save(args.output + ".vocab.json")
 
     # persist the held-out eval texts next to the checkpoint so the sweep

@@ -35,19 +35,21 @@ def load_model(
     meta = MODELS[model_name]
     cfg = get_model_config(meta["config"])
 
-    if model_name in ("trained-tiny", "trained-word"):
+    if model_name in ("trained-tiny", "trained-word", "trained-100m"):
         # in-container trained checkpoint (qkv_ecc_tpu/training/)
         from ..training.trainer import load_params
 
         default = {
             "trained-tiny": "results/trained_tiny/checkpoint.npz",
             "trained-word": "results/trained_word/checkpoint.npz",
+            "trained-100m": "results/trained_100m/checkpoint.npz",
         }[model_name]
         path = os.environ.get("QKV_TINY_CHECKPOINT", default)
 
         def tok_for():
             vocab_path = path + ".vocab.json"
-            if model_name == "trained-word" and os.path.exists(vocab_path):
+            if (model_name in ("trained-word", "trained-100m")
+                    and os.path.exists(vocab_path)):
                 from ..training.corpus import WordTokenizer
 
                 return WordTokenizer.load(vocab_path)

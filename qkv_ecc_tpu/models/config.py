@@ -130,6 +130,25 @@ TRAINED_TINY = ModelConfig(
     max_position_embeddings=512,
 )
 
+# ~100M-param word-level model (VERDICT r3 #8): the publication protocol
+# demonstrated nearer publication scale - llama architecture with GQA
+# (12 Q / 4 KV heads), trained in-container on the word corpus. ~103M
+# params (tied embeddings) fits easily in 16 GB HBM at bf16.
+TRAINED_100M = ModelConfig(
+    name="trained-100m",
+    arch="llama",
+    vocab_size=8192,
+    hidden_size=768,
+    num_layers=14,
+    num_heads=12,
+    num_kv_heads=4,
+    head_dim=64,
+    intermediate_size=2304,
+    max_position_embeddings=512,
+    rope_theta=10000.0,
+    tie_word_embeddings=True,
+)
+
 # The headline-benchmark model (bench.py, benchmarks/scaling.py,
 # fault_tolerance_benchmark --grid): llama-architecture ~0.9B that fits one
 # v5e chip in bf16 with room for batch-8 KV. Random weights (no network in
@@ -169,7 +188,7 @@ MODEL_CONFIGS = {
     c.name: c
     for c in (
         GPT2_124M, MISTRAL_7B, LLAMA31_8B, TINY_GPT2, TINY_LLAMA,
-        TRAINED_TINY, TRAINED_WORD, BENCH_0_9B,
+        TRAINED_TINY, TRAINED_WORD, TRAINED_100M, BENCH_0_9B,
     )
 }
 

@@ -1,13 +1,20 @@
-"""Continuous-batching serving throughput on the real chip.
+"""Continuous-batching serving throughput on the real chip (VERDICT r3 #3).
 
 Drives ContinuousBatchingServer with a mixed-length request stream at bench
-shapes and reports aggregate decode throughput + admission overhead. The
-server issues ONE decode dispatch per token (host-driven continuous
-batching), so on the tunneled chip each step pays the 1-3 ms dispatch RTT
-on top of device time - the delta vs bench.py's scanned decode_loop
-(zero host round-trips) isolates exactly that serving-loop overhead.
+shapes across modes x batch levels and reports, per arm:
+  * aggregate serving throughput (generated tokens / wall),
+  * steady-state decode-step latency (steps with all slots active and no
+    admission that step),
+  * admission (prefill) latency per admitted request,
+  * per-mode overhead vs the unprotected int4 arm at the same batch level.
 
-Writes results/serving_tpu.json.
+The server issues ONE decode dispatch per token (host-driven continuous
+batching), so on the tunneled chip each step pays the 1-3 ms dispatch RTT
+on top of device time - the delta vs bench.py's scanned decode_loop (zero
+host round-trips) isolates exactly that serving-loop overhead. Matches the
+reference's throughput arms (fault_tolerance_benchmark.py:1109) in role.
+
+Writes results/serving_bench_<device>.json.
 """
 import json
 import sys
@@ -17,6 +24,10 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
+MODES = ("int4-write-inject", "int4-hamming84", "int12-golay")
+BATCH_LEVELS = (4, 8)
+NEW_TOKENS = 96
+
 
 def main():
     import jax
@@ -25,53 +36,106 @@ def main():
     from qkv_ecc_tpu.models.config import get_model_config
     from qkv_ecc_tpu.models.kv_policy import policy_for_mode
     from qkv_ecc_tpu.models.registry import init_params
-    from qkv_ecc_tpu.serving.scheduler import ContinuousBatchingServer, Request
+    from qkv_ecc_tpu.serving.scheduler import (
+        ContinuousBatchingServer, Request,
+    )
 
     cfg = get_model_config("bench-0.9b")
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16), init_params(cfg, 0)
     )
-    rng = np.random.default_rng(0)
+    device_kind = jax.devices()[0].device_kind
+    slug = device_kind.lower().replace(" ", "-")
 
-    out = {"model": cfg.name, "device": jax.devices()[0].device_kind,
-           "arms": []}
-    for mode in ("int12-golay", "int4-write-inject"):
-        policy = policy_for_mode(mode, ber=1e-2, seed=42)
-        server = ContinuousBatchingServer(
-            params, cfg, policy, max_batch=8, max_seq_len=1536,
-            prefill_bucket=128, collect_ecc_stats=False,
-        )
-        # 16 requests, mixed prompt lengths (256..1024), 96 new tokens each:
-        # twice the slot count so page recycling + re-admission happen live
-        n_req, new_tokens = 16, 96
-        for rid in range(n_req):
-            plen = int(rng.integers(256, 1025))
-            server.add_request(Request(
-                rid, rng.integers(0, cfg.vocab_size, (plen,)),
-                max_new_tokens=new_tokens,
-            ))
-        t0 = time.perf_counter()
-        outputs = server.run()
-        dt = time.perf_counter() - t0
-        generated = sum(len(o.token_ids) for o in outputs)
-        tps = generated / dt
-        rec = {
-            "mode": mode,
-            "requests": n_req,
-            "generated_tokens": generated,
-            "wall_s": round(dt, 2),
-            "serving_tokens_per_sec": round(tps, 1),
-            "note": "host-driven: 1 dispatch/token through the tunnel "
-                    "(adds 1-3 ms RTT/step vs the scanned decode_loop)",
-        }
-        out["arms"].append(rec)
-        print(f"  {mode}: {generated} tokens in {dt:.1f}s = {tps:.1f} tok/s "
-              f"({len(outputs)} requests completed)", flush=True)
-        assert len(outputs) == n_req
-        assert all(len(o.token_ids) == new_tokens for o in outputs)
+    class TimedServer(ContinuousBatchingServer):
+        """Instrumented: per-admission prefill latency + per-step decode
+        latency tagged with (active slots, admissions this step)."""
 
-    with open("/root/repo/results/serving_tpu.json", "w") as f:
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.admission_s = []
+            self.step_records = []  # (active, admitted, seconds)
+
+        def _run_prefill(self, ids, row, key, logit_pos, true_len):
+            t0 = time.perf_counter()
+            logits = super()._run_prefill(ids, row, key, logit_pos, true_len)
+            _ = np.asarray(logits[:, :1])  # force completion (one RTT)
+            self.admission_s.append(time.perf_counter() - t0)
+            return logits
+
+        def step(self):
+            before = len(self.admission_s)
+            t0 = time.perf_counter()
+            out = super().step()
+            dt = time.perf_counter() - t0
+            admitted = len(self.admission_s) - before
+            self.step_records.append((self.num_active, admitted, dt))
+            return out
+
+    out = {"model": cfg.name, "device": device_kind,
+           "new_tokens_per_request": NEW_TOKENS, "arms": []}
+    base_tps = {}
+    for max_batch in BATCH_LEVELS:
+        for mode in MODES:
+            policy = policy_for_mode(mode, ber=1e-2, seed=42)
+            server = TimedServer(
+                params, cfg, policy, max_batch=max_batch, max_seq_len=1536,
+                prefill_bucket=128, collect_ecc_stats=False,
+            )
+            # 2x the slot count so page recycling + re-admission happen live
+            rng = np.random.default_rng(0)  # same stream for every arm
+            n_req = 2 * max_batch
+            for rid in range(n_req):
+                plen = int(rng.integers(256, 1025))
+                server.add_request(Request(
+                    rid, rng.integers(0, cfg.vocab_size, (plen,)),
+                    max_new_tokens=NEW_TOKENS,
+                ))
+            t0 = time.perf_counter()
+            outputs = server.run()
+            dt = time.perf_counter() - t0
+            generated = sum(len(o.token_ids) for o in outputs)
+            assert len(outputs) == n_req
+            assert all(len(o.token_ids) == NEW_TOKENS for o in outputs)
+            tps = generated / dt
+            # steady state: full batch active, nothing admitted that step;
+            # drop the first 8 (compile/warmup transients live there)
+            steady = [
+                s for a, adm, s in server.step_records[8:]
+                if a == max_batch and adm == 0
+            ]
+            # admissions: drop the first (pays prefill compile per bucket)
+            adm = sorted(server.admission_s[1:])
+            rec = {
+                "mode": mode,
+                "max_batch": max_batch,
+                "requests": n_req,
+                "generated_tokens": generated,
+                "wall_s": round(dt, 2),
+                "serving_tokens_per_sec": round(tps, 1),
+                "steady_decode_ms_per_step": round(
+                    float(np.median(steady)) * 1e3, 2) if steady else None,
+                "steady_steps_measured": len(steady),
+                "admission_latency_ms": {
+                    "median": round(float(np.median(adm)) * 1e3, 1),
+                    "p90": round(float(adm[int(0.9 * len(adm))]) * 1e3, 1),
+                } if adm else None,
+                "note": "host-driven: 1 dispatch/token through the tunnel "
+                        "(adds 1-3 ms RTT/step vs the scanned decode_loop)",
+            }
+            if mode == "int4-write-inject":
+                base_tps[max_batch] = tps
+            rec["vs_unprotected"] = round(tps / base_tps[max_batch], 4)
+            out["arms"].append(rec)
+            print(f"  b={max_batch} {mode}: {generated} tok in {dt:.1f}s = "
+                  f"{tps:.1f} tok/s ({rec['vs_unprotected']}x), steady "
+                  f"{rec['steady_decode_ms_per_step']} ms/step, admission "
+                  f"{rec['admission_latency_ms']}", flush=True)
+
+    path = f"/root/repo/results/serving_bench_{slug}.json"
+    with open(path, "w") as f:
         json.dump(out, f, indent=2)
+        f.write("\n")
     print(json.dumps(out))
 
 
