@@ -25,6 +25,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 MODES = ("int4-write-inject", "int4-hamming84", "int12-golay")
+PROMPT_LEN = 512
 BATCH_LEVELS = (4, 8)
 NEW_TOKENS = 96
 
@@ -82,13 +83,26 @@ def main():
                 params, cfg, policy, max_batch=max_batch, max_seq_len=1536,
                 prefill_bucket=128, collect_ecc_stats=False,
             )
-            # 2x the slot count so page recycling + re-admission happen live
             rng = np.random.default_rng(0)  # same stream for every arm
+            # warmup request: compiles the (single-bucket) prefill and the
+            # decode step BEFORE the timed stream - admission latency then
+            # measures steady prefill, not XLA compiles
+            server.add_request(Request(
+                10_000, rng.integers(0, cfg.vocab_size, (PROMPT_LEN,)),
+                max_new_tokens=4,
+            ))
+            server.run()
+            server.finished.clear()
+            server.admission_s.clear()
+            server.step_records.clear()
+            # 2x the slot count so page recycling + re-admission happen live;
+            # ONE prompt length = one prefill bucket (distinct buckets each
+            # pay a fresh ~30 s XLA compile through the tunnel, which would
+            # dominate the wall clock and pollute admission stats)
             n_req = 2 * max_batch
             for rid in range(n_req):
-                plen = int(rng.integers(256, 1025))
                 server.add_request(Request(
-                    rid, rng.integers(0, cfg.vocab_size, (plen,)),
+                    rid, rng.integers(0, cfg.vocab_size, (PROMPT_LEN,)),
                     max_new_tokens=NEW_TOKENS,
                 ))
             t0 = time.perf_counter()
@@ -98,14 +112,12 @@ def main():
             assert len(outputs) == n_req
             assert all(len(o.token_ids) == NEW_TOKENS for o in outputs)
             tps = generated / dt
-            # steady state: full batch active, nothing admitted that step;
-            # drop the first 8 (compile/warmup transients live there)
+            # steady state: full batch active, nothing admitted that step
             steady = [
-                s for a, adm, s in server.step_records[8:]
+                s for a, adm, s in server.step_records
                 if a == max_batch and adm == 0
             ]
-            # admissions: drop the first (pays prefill compile per bucket)
-            adm = sorted(server.admission_s[1:])
+            adm = sorted(server.admission_s)
             rec = {
                 "mode": mode,
                 "max_batch": max_batch,
@@ -127,6 +139,11 @@ def main():
                 base_tps[max_batch] = tps
             rec["vs_unprotected"] = round(tps / base_tps[max_batch], 4)
             out["arms"].append(rec)
+            # write incrementally: a timeout mid-run still leaves a valid
+            # artifact with the arms measured so far
+            with open(f"/root/repo/results/serving_bench_{slug}.json", "w") as f:
+                json.dump(out, f, indent=2)
+                f.write("\n")
             print(f"  b={max_batch} {mode}: {generated} tok in {dt:.1f}s = "
                   f"{tps:.1f} tok/s ({rec['vs_unprotected']}x), steady "
                   f"{rec['steady_decode_ms_per_step']} ms/step, admission "
