@@ -67,6 +67,40 @@ def test_scrub_is_bit_identical(tiny, mode, ber):
         np.testing.assert_array_equal(a, b, err_msg=f"step {step}")
 
 
+@pytest.mark.parametrize("mode", ["int12-golay", "int4-hamming84"])
+def test_debug_no_parity_rmw_logits_unchanged(tiny, mode):
+    """The parity-RMW measurement knob (scripts/rmw_iso.py) must not move
+    any decoded value: scrub reads never touch parity, so skipping the
+    parity-row read-modify-write changes ONLY the stored parity suffix
+    (which goes stale). Logits bit-equal; cache parity allowed to differ."""
+    params, cfg = tiny
+
+    def run(knob):
+        policy = dataclasses.replace(
+            policy_for_mode(mode, ber=2e-2, seed=42),
+            debug_no_parity_rmw=knob,
+        )
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 21)))
+        state, bt, _ = init_generation_state(cfg, policy, 2, 27, block_size=16)
+        key = jax.random.key(7)
+        logits, state = prefill(params, ids, state, bt, cfg, policy, key)
+        outs = [np.asarray(logits)]
+        for s in range(3):
+            tok = jnp.argmax(logits, axis=-1)
+            logits, state = decode_step(
+                params, tok, state, bt, cfg, policy,
+                jax.random.fold_in(key, s), block_size=16,
+            )
+            outs.append(np.asarray(logits))
+        return outs
+
+    ref = run(False)
+    got = run(True)
+    for step, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {step}")
+
+
 def test_scrub_cleans_cache(tiny):
     """With write-path scrubbing, EVERY stored codeword in the written
     context is a valid codeword (corrections applied before storage), so
