@@ -160,18 +160,20 @@ def build_decode_attention_case(
     )
     rng = np.random.default_rng(seed)
     cache = allocate_ecc_kv_cache(cfg)
-    shape = cache["k_cache"].shape
     if codec in ("fp16", "fp8"):
-        raw = rng.normal(size=shape).astype(np.float32)
+        raw = rng.normal(size=cache["k_cache"].shape).astype(np.float32)
         cache["k_cache"] = jnp.asarray(raw, cfg.cache_dtype)
         cache["v_cache"] = jnp.asarray(raw, cfg.cache_dtype)
     else:
-        # random packed int32 storage words = random codeword bits
-        raw = rng.integers(-(2**31), 2**31, shape, dtype=np.int64).astype(
-            np.int32
-        )
-        cache["k_cache"] = jnp.asarray(raw)
-        cache["v_cache"] = jnp.asarray(raw)
+        # random packed int32 storage words = random codeword bits (split
+        # layout: data and parity arrays randomized independently)
+        for name in ("k_cache", "v_cache", "k_parity", "v_parity"):
+            if name not in cache:
+                continue
+            raw = rng.integers(
+                -(2**31), 2**31, cache[name].shape, dtype=np.int64
+            ).astype(np.int32)
+            cache[name] = jnp.asarray(raw)
     cache["k_scales"] = jnp.asarray(
         rng.uniform(0.05, 0.2, cache["k_scales"].shape).astype(np.float32)
     )
@@ -198,6 +200,7 @@ def benchmark_ecc_attention(
         return paged_attention_ecc(
             q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
             cache["v_scales"], block_table, ctx, 0,
+            cache.get("k_parity"), cache.get("v_parity"),
             codec=codec, block_size=block_size,
         )
 

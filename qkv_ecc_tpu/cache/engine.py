@@ -97,13 +97,10 @@ class ECCEngineConfig:
 @functools.partial(
     jax.jit,
     static_argnames=("codec", "inject", "head_dim"),
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
 def _write_step(
-    k_cache,
-    v_cache,
-    k_scales,
-    v_scales,
+    cache,
     k,
     v,
     layer_idx,
@@ -116,10 +113,12 @@ def _write_step(
     inject: bool,
     head_dim: int,
 ):
-    """Quantize+encode+inject+scatter S tokens into the paged cache.
+    """Quantize+encode+inject+scatter S tokens into the paged cache (the
+    donated `cache` dict; rows split at the data/parity boundary - round-5
+    split layout, cache/layout.py).
 
     k, v: [S, H, D] float. phys_blocks/slots: [S] int32.
-    Returns updated cache arrays + (k_flips, v_flips).
+    Returns (updated cache dict, k_flips, v_flips).
     """
 
     def quantize(x):
@@ -151,25 +150,36 @@ def _write_step(
     kc = swar.pack_codewords(codec, kc, head_dim)
     vc = swar.pack_codewords(codec, vc, head_dim)
 
-    # scatter (token-minor layout): cache[layer, phys[s], h, :, slot[s]] = cw[s, h, :]
-    k_cache = k_cache.at[layer_idx, phys_blocks, :, :, slots].set(kc)
-    v_cache = v_cache.at[layer_idx, phys_blocks, :, :, slots].set(vc)
-    k_scales = k_scales.at[layer_idx, phys_blocks, :, slots].set(ks)
-    v_scales = v_scales.at[layer_idx, phys_blocks, :, slots].set(vs)
-    return k_cache, v_cache, k_scales, v_scales, k_flips, v_flips
+    # scatter (token-minor layout): cache[layer, phys[s], h, :, slot[s]] =
+    # cw[s, h, :], data prefix and parity suffix into their own arrays
+    dw = cache["k_cache"].shape[3]
+    cache["k_cache"] = cache["k_cache"].at[
+        layer_idx, phys_blocks, :, :, slots].set(kc[..., :dw])
+    cache["v_cache"] = cache["v_cache"].at[
+        layer_idx, phys_blocks, :, :, slots].set(vc[..., :dw])
+    if "k_parity" in cache:
+        cache["k_parity"] = cache["k_parity"].at[
+            layer_idx, phys_blocks, :, :, slots].set(kc[..., dw:])
+        cache["v_parity"] = cache["v_parity"].at[
+            layer_idx, phys_blocks, :, :, slots].set(vc[..., dw:])
+    cache["k_scales"] = cache["k_scales"].at[
+        layer_idx, phys_blocks, :, slots].set(ks)
+    cache["v_scales"] = cache["v_scales"].at[
+        layer_idx, phys_blocks, :, slots].set(vs)
+    return cache, k_flips, v_flips
 
 
 @functools.partial(
-    jax.jit, static_argnames=("codec", "inject"), donate_argnums=(0, 1)
+    jax.jit, static_argnames=("codec", "inject"), donate_argnums=(0,)
 )
 def _write_step_float(
-    k_cache, v_cache, k, v, layer_idx, phys_blocks, slots, key, ber, *,
+    cache, k, v, layer_idx, phys_blocks, slots, key, ber, *,
     codec: str, inject: bool
 ):
     """fp16/fp8 write: store raw values (fp8 optionally corrupted bytewise,
     reference ecc_shim.py:535-570; fp16 is the uncorrupted oracle :511)."""
-    kc = k.astype(k_cache.dtype)
-    vc = v.astype(v_cache.dtype)
+    kc = k.astype(cache["k_cache"].dtype)
+    vc = v.astype(cache["v_cache"].dtype)
     k_flips = jnp.zeros((), jnp.int32)
     v_flips = jnp.zeros((), jnp.int32)
     if inject and codec == "fp8":
@@ -180,11 +190,13 @@ def _write_step_float(
         vm = flip_mask_for(vk, v_bytes.shape, ber, 8).astype(jnp.uint8)
         k_flips = jnp.sum(jax.lax.population_count(km.astype(jnp.int32)), dtype=jnp.int32)
         v_flips = jnp.sum(jax.lax.population_count(vm.astype(jnp.int32)), dtype=jnp.int32)
-        kc = jax.lax.bitcast_convert_type(k_bytes ^ km, k_cache.dtype)
-        vc = jax.lax.bitcast_convert_type(v_bytes ^ vm, v_cache.dtype)
-    k_cache = k_cache.at[layer_idx, phys_blocks, :, :, slots].set(kc)
-    v_cache = v_cache.at[layer_idx, phys_blocks, :, :, slots].set(vc)
-    return k_cache, v_cache, k_flips, v_flips
+        kc = jax.lax.bitcast_convert_type(k_bytes ^ km, cache["k_cache"].dtype)
+        vc = jax.lax.bitcast_convert_type(v_bytes ^ vm, cache["v_cache"].dtype)
+    cache["k_cache"] = cache["k_cache"].at[
+        layer_idx, phys_blocks, :, :, slots].set(kc)
+    cache["v_cache"] = cache["v_cache"].at[
+        layer_idx, phys_blocks, :, :, slots].set(vc)
+    return cache, k_flips, v_flips
 
 
 # =============================================================================
@@ -206,6 +218,8 @@ def _attend_general(
     block_table_row,  # [max_blocks]
     layer_idx,
     read_key=None,  # drives fresh read-time nibble flips (int4 arm)
+    k_parity=None,  # split-layout parity arrays (None: int4/fp16/fp8)
+    v_parity=None,
     *,
     codec: str,
     use_interpolation: bool,
@@ -230,6 +244,10 @@ def _attend_general(
 
     k_raw = gather(k_cache)
     v_raw = gather(v_cache)
+    if k_parity is not None:
+        # rebuild full logical rows: data prefix ++ parity suffix
+        k_raw = jnp.concatenate([k_raw, gather(k_parity)], axis=-1)
+        v_raw = jnp.concatenate([v_raw, gather(v_parity)], axis=-1)
     if codec not in ("fp16", "fp8"):
         # packed int32 storage words -> logical per-value codewords
         k_raw = swar.unpack_codewords(codec, k_raw, head_dim)
@@ -456,24 +474,19 @@ class ECCEngine:
         if inject:
             self._injection_count += 1
 
-        c = self.cache
         if self.config.codec in ("fp16", "fp8"):
-            kc, vc, kf, vf = _write_step_float(
-                c["k_cache"], c["v_cache"], k, v, layer_idx, phys, slots,
+            self.cache, kf, vf = _write_step_float(
+                self.cache, k, v, layer_idx, phys, slots,
                 key, jnp.float32(self.config.ber),
                 codec=self.config.codec, inject=inject,
             )
-            c["k_cache"], c["v_cache"] = kc, vc
         else:
-            kc, vc, ksc, vsc, kf, vf = _write_step(
-                c["k_cache"], c["v_cache"], c["k_scales"], c["v_scales"],
-                k, v, layer_idx, phys, slots, key,
+            self.cache, kf, vf = _write_step(
+                self.cache, k, v, layer_idx, phys, slots, key,
                 jnp.float32(self.config.ber),
                 codec=self.config.codec, inject=inject,
                 head_dim=self.head_dim,
             )
-            c["k_cache"], c["v_cache"] = kc, vc
-            c["k_scales"], c["v_scales"] = ksc, vsc
         if inject:
             flips = int(kf) + int(vf)
             self._bits_flipped += flips
@@ -538,6 +551,8 @@ class ECCEngine:
                 table[seq_id : seq_id + 1, :],
                 jnp.asarray([ctx], jnp.int32),
                 layer_idx,
+                self.cache.get("k_parity"),
+                self.cache.get("v_parity"),
                 codec=self.config.codec,
                 block_size=self.config.block_size,
                 num_pages=n_pages,
@@ -560,6 +575,8 @@ class ECCEngine:
                 table[seq_id],
                 layer_idx,
                 read_key if read else None,
+                self.cache.get("k_parity"),
+                self.cache.get("v_parity"),
                 codec=self.config.codec,
                 use_interpolation=self.config.use_interpolation,
                 head_dim=self.head_dim,

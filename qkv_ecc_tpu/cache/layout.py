@@ -21,11 +21,17 @@ TPU-native redesign of the reference's memory layout
     (ecc_codecs/triton_kernels/config.py:41-70); round 1 of this framework
     did the same. Packing halves the unprotected-INT4 decode step's KV
     traffic and lets the fused kernel decode 4-32 values per VPU op.
-  * Rows are DATA-FIRST (kernels/swar.py module docstring): the int4-packed
-    data nibbles of every codec occupy the row's aligned word prefix, parity
-    after. Scrub-mode reads (the default) DMA and decode ONLY the prefix -
-    every protected codec's steady-state read streams exactly the bytes
-    unprotected INT4 streams, and the parity suffix never leaves HBM.
+  * Rows are DATA-FIRST and PHYSICALLY SPLIT (round 5): the int4-packed
+    data nibbles live in k_cache/v_cache - arrays byte-identical to the
+    unprotected int4 cache - and the parity suffix in separate
+    k_parity/v_parity arrays with the same token-minor page layout.
+    Scrub-mode reads (the default) DMA and decode ONLY the data arrays with
+    fully CONTIGUOUS page copies (round 4 measured ~0.08 ms per attended
+    page for the strided prefix-of-row DMAs the single-array layout forced,
+    plus ~0.13 ms/step of parity-row read-modify-write in the fused write;
+    the split removes both - docs/split_parity_design.md). Correcting reads
+    (always-decode / stats / interpolation) stream BOTH arrays as two
+    contiguous streams.
   * Scales are [num_blocks, num_kv_heads, block_size] fp32 (per token per
     head), matching the reference's per-position scale granularity.
 """
@@ -37,7 +43,12 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from ..kernels.swar import padded_values, row_words as _row_words
+from ..kernels.swar import (
+    data_words as _data_words,
+    padded_values,
+    parity_words as _parity_words,
+    row_words as _row_words,
+)
 
 CODEC_CHOICES = ("fp16", "fp8", "int4", "hamming74", "hamming84", "golay")
 
@@ -89,8 +100,24 @@ class ECCCacheConfig:
     @property
     def row_words(self) -> int:
         """Storage elements per (token, head) row: packed int32 words for
-        the integer codecs, raw values for fp16/fp8."""
+        the integer codecs, raw values for fp16/fp8. The row is stored
+        SPLIT: its data_words prefix in k_cache/v_cache, its parity_words
+        suffix in k_parity/v_parity (see data_words docstring)."""
         return _row_words(self.codec, self.head_dim)
+
+    @property
+    def data_words(self) -> int:
+        """Words per row of the DATA cache arrays: the int4-style-packed
+        value nibbles. Byte-identical layout to the unprotected int4 cache,
+        so scrub-mode reads issue exactly the contiguous page DMAs int4
+        issues (round-5 split layout, docs/split_parity_design.md)."""
+        return _data_words(self.codec, self.head_dim)
+
+    @property
+    def parity_words(self) -> int:
+        """Words per row of the PARITY arrays (0: no parity arrays exist -
+        int4, fp16, fp8)."""
+        return _parity_words(self.codec, self.head_dim)
 
     @property
     def padded_head_dim(self) -> int:
@@ -119,14 +146,29 @@ class ECCCacheConfig:
         return self.num_blocks * self.block_size
 
     def cache_shape(self):
-        """Shape of one of k_cache / v_cache (all layers stacked).
+        """Shape of one of k_cache / v_cache (all layers stacked): the DATA
+        arrays of the split layout - data_words per row, byte-identical to
+        the int4 cache for every ECC codec.
 
         Tokens (block_size) are the minor dim - see module docstring."""
         return (
             self.num_layers,
             self.num_blocks,
             self.num_kv_heads,
-            self.row_words,
+            self.data_words,
+            self.block_size,
+        )
+
+    def parity_shape(self):
+        """Shape of k_parity / v_parity (None when the codec has no parity:
+        int4, fp16, fp8). Same token-minor page layout as the data arrays."""
+        if self.parity_words == 0:
+            return None
+        return (
+            self.num_layers,
+            self.num_blocks,
+            self.num_kv_heads,
+            self.parity_words,
             self.block_size,
         )
 
@@ -142,20 +184,23 @@ class ECCCacheConfig:
 def allocate_ecc_kv_cache(config: ECCCacheConfig, sharding=None):
     """Allocate zeroed cache tensors (reference memory_layout.py:56).
 
-    Returns dict with k_cache, v_cache, k_scales, v_scales. With `sharding`, a
-    jax.sharding.NamedSharding is applied (kv-heads axis on the model axis).
+    Returns dict with k_cache, v_cache, k_scales, v_scales, plus
+    k_parity/v_parity for the ECC codecs (split data/parity layout). With
+    `sharding`, a jax.sharding.NamedSharding is applied (kv-heads axis on
+    the model axis).
     """
     kw = {"device": sharding} if sharding is not None else {}
-    k_cache = jnp.zeros(config.cache_shape(), config.cache_dtype, **kw)
-    v_cache = jnp.zeros(config.cache_shape(), config.cache_dtype, **kw)
-    k_scales = jnp.zeros(config.scales_shape(), jnp.float32, **kw)
-    v_scales = jnp.zeros(config.scales_shape(), jnp.float32, **kw)
-    return {
-        "k_cache": k_cache,
-        "v_cache": v_cache,
-        "k_scales": k_scales,
-        "v_scales": v_scales,
+    out = {
+        "k_cache": jnp.zeros(config.cache_shape(), config.cache_dtype, **kw),
+        "v_cache": jnp.zeros(config.cache_shape(), config.cache_dtype, **kw),
+        "k_scales": jnp.zeros(config.scales_shape(), jnp.float32, **kw),
+        "v_scales": jnp.zeros(config.scales_shape(), jnp.float32, **kw),
     }
+    pshape = config.parity_shape()
+    if pshape is not None:
+        out["k_parity"] = jnp.zeros(pshape, config.cache_dtype, **kw)
+        out["v_parity"] = jnp.zeros(pshape, config.cache_dtype, **kw)
+    return out
 
 
 def create_block_table(max_seqs: int, max_blocks_per_seq: int):

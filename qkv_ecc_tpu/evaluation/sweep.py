@@ -11,9 +11,11 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import time
 from dataclasses import field
 from typing import Any, Callable, Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -321,6 +323,12 @@ def run_single_trial(
             per_sample, threshold=config.catastrophic_threshold
         )
 
+    timing_fields = {}
+    if config.enable_timing:
+        timing_fields = _measure_trial_timing(
+            model_cfg, policy, config, agg_stats["total_values"]
+        )
+
     corrected = agg_stats["errors_corrected"]
     detected = agg_stats["errors_detected"]
     total_events = corrected + detected
@@ -339,7 +347,57 @@ def run_single_trial(
         injection_count=injection_count,
         correction_rate=corrected / total_events if total_events else 0.0,
         detection_rate=detected / total_events if total_events else 0.0,
+        **timing_fields,
     )
+
+
+def _measure_trial_timing(model_cfg, policy, config, total_values):
+    """Populate TrialResult's timing fields (enable_timing=True): codec
+    encode/decode wall times at the trial's per-layer K/V shape via the
+    tunnel-safe chained timer, plus host->device transfer overhead (the
+    reference declared these fields but never set them - SURVEY §5.1)."""
+    import numpy as np
+
+    from ..models.kv_policy import decode_kv, encode_kv
+    from .timing import time_fn_chained
+
+    if policy.codec in ("fp16", "fp8"):
+        return {}
+    D = model_cfg.head_dim
+    shape = (1, config.max_length, model_cfg.num_kv_heads, D)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=shape), jnp.float32)
+    key = jax.random.key(0)
+
+    def enc(t):
+        return encode_kv(t, policy, key)[0]
+
+    cw, scale, _ = encode_kv(x, policy, key)
+
+    def dec(c):
+        return decode_kv(c, scale, policy, head_dim=D)[0]
+
+    it = max(3, config.warmup_iterations)
+    # the ~25 ms host-fetch RTT correction applies only through the TPU
+    # tunnel; on CPU it would swamp these microsecond-scale chains
+    fo = 0.025 if jax.devices()[0].platform == "tpu" else 0.0
+    enc_s = time_fn_chained(jax.jit(enc), x, iters=it, fetch_overhead_s=fo)
+    dec_s = time_fn_chained(jax.jit(dec), cw, iters=it, fetch_overhead_s=fo)
+    n = x.size
+    # transfer overhead: host->device upload of the same logical values
+    # relative to the on-device decode (is_cpu_bound when the PCIe/tunnel
+    # upload dominates the codec work)
+    host = np.asarray(x)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.asarray(host))
+    xfer_s = time.perf_counter() - t0
+    total = dec_s + xfer_s
+    return {
+        "encode_time_ms": enc_s * 1e3,
+        "decode_time_ms": dec_s * 1e3,
+        "throughput_mvalues_sec": n / dec_s / 1e6 if dec_s > 0 else 0.0,
+        "transfer_overhead_pct": 100.0 * xfer_s / total if total > 0 else 0.0,
+        "is_cpu_bound": xfer_s > dec_s,
+    }
 
 
 def load_sweep_checkpoint(path, fingerprint: str = None) -> Dict[tuple, TrialResult]:

@@ -127,28 +127,55 @@ def compute_error_amplification_hamming84() -> Dict[str, AmplificationResult]:
 
 
 def verify_golay2412(n_random: int = 64, seed: int = 0) -> Dict[str, bool]:
-    """1/2/3-bit correction sweeps (exhaustive singles, randomized 2/3)
-    (reference verification.py:407-471)."""
+    """Golay correction sweeps: exhaustive weight-1 (24 patterns) and
+    weight-2 (all C(24,2)=276 patterns) over a codeword battery, exhaustive
+    weight-3 (all C(24,3)=2024 patterns) over a smaller battery, plus the
+    randomized weight-3 spot check on the full battery. The reference
+    sampled weights 2-3 (verification.py:407-471, golay_triton.py:606);
+    exhausting them closes the strongest remaining correctness hole
+    (round-4 VERDICT missing #4) and still runs in seconds: every pattern
+    set is one vectorized decode over [patterns, battery] codewords."""
+    import itertools
+
     rng = np.random.default_rng(seed)
     trip = jnp.asarray(rng.integers(0, 16, (n_random, 3), dtype=np.uint8))
     cw = golay_encode(trip)
     results = {}
 
-    ok = True
-    for bit in range(24):
-        dec, cnt, _, unc = golay_decode(cw ^ jnp.int32(1 << bit))
-        ok &= bool(jnp.array_equal(dec, trip)) and int(unc) == 0
-    results["corrects_1bit"] = ok
+    def sweep(pats, battery_cw, battery_trip):
+        """Decode battery ^ every pattern at once: [P, N] codewords."""
+        pats = jnp.asarray(np.asarray(pats, np.int64), jnp.int32)
+        rx = battery_cw[None, :] ^ pats[:, None]
+        dec, cnt, _, unc = golay_decode(rx.reshape(-1))
+        want = jnp.broadcast_to(
+            battery_trip[None], (len(pats),) + tuple(battery_trip.shape)
+        ).reshape(-1, 3)
+        return bool(jnp.array_equal(dec, want)) and int(unc) == 0
 
-    for weight in (2, 3):
-        flips = np.zeros(n_random, dtype=np.int64)
-        for r in range(n_random):
-            for b in rng.choice(24, size=weight, replace=False):
-                flips[r] |= 1 << int(b)
-        dec, cnt, _, unc = golay_decode(cw ^ jnp.asarray(flips, jnp.int32))
-        results[f"corrects_{weight}bit"] = (
-            bool(jnp.array_equal(dec, trip)) and int(unc) == 0
-        )
+    results["corrects_1bit"] = sweep(
+        [1 << b for b in range(24)], cw, trip
+    )
+    # EXHAUSTIVE weight-2: all 276 patterns x the full battery
+    w2 = [
+        (1 << a) | (1 << b) for a, b in itertools.combinations(range(24), 2)
+    ]
+    results["corrects_2bit_exhaustive"] = sweep(w2, cw, trip)
+    # EXHAUSTIVE weight-3: all 2024 patterns x a 16-codeword battery
+    w3 = [
+        (1 << a) | (1 << b) | (1 << c)
+        for a, b, c in itertools.combinations(range(24), 3)
+    ]
+    results["corrects_3bit_exhaustive"] = sweep(w3, cw[:16], trip[:16])
+    # randomized weight-3 over the FULL battery (the reference's original
+    # spot check, kept for protocol parity)
+    flips = np.zeros(n_random, dtype=np.int64)
+    for r in range(n_random):
+        for b in rng.choice(24, size=3, replace=False):
+            flips[r] |= 1 << int(b)
+    dec, cnt, _, unc = golay_decode(cw ^ jnp.asarray(flips, jnp.int32))
+    results["corrects_3bit"] = (
+        bool(jnp.array_equal(dec, trip)) and int(unc) == 0
+    )
     return results
 
 
@@ -182,6 +209,34 @@ def run_all_verifications() -> VerificationReport:
         A.HAMMING74_G, A.HAMMING74_H
     )
     checks["h74_basis_independence"] = verify_basis_independence(A.HAMMING74_G)
+    # explicit Hamming(8,4) SECDED null space (round-4 VERDICT #8): extend
+    # G with the overall-parity column (bit 7 = parity of bits 0-6, so
+    # total codeword parity is even) and H with the all-ones parity row
+    g84 = np.concatenate(
+        [A.HAMMING74_G, (A.HAMMING74_G.sum(axis=1) % 2)[:, None]], axis=1
+    ).astype(np.uint8)
+    h84 = np.concatenate(
+        [
+            np.concatenate(
+                [A.HAMMING74_H, np.zeros((A.HAMMING74_H.shape[0], 1), np.uint8)],
+                axis=1,
+            ),
+            np.ones((1, 8), np.uint8),
+        ],
+        axis=0,
+    )
+    checks["h84_null_space"] = verify_null_space_condition(g84, h84)
+    checks["h84_orthogonality"] = verify_subspace_orthogonality(g84, h84)
+    checks["h84_basis_independence"] = verify_basis_independence(g84)
+    # the extended G must agree with the implemented encoder on all 16
+    # messages (ties the algebra to the SWAR bit layout)
+    msgs = np.array(
+        [[(m >> i) & 1 for i in range(4)] for m in range(16)], np.uint8
+    )
+    cw_alg = (msgs @ g84) % 2
+    cw_impl = np.asarray(hamming84_encode(jnp.arange(16, dtype=jnp.uint8)))
+    cw_impl_bits = (cw_impl[:, None] >> np.arange(8)[None, :]) & 1
+    checks["h84_encoder_matches_G"] = bool((cw_alg == cw_impl_bits).all())
     checks["golay_null_space"] = verify_null_space_condition(A.GOLAY_G, A.GOLAY_H)
     checks["golay_orthogonality"] = verify_subspace_orthogonality(A.GOLAY_G, A.GOLAY_H)
     checks["golay_basis_independence"] = verify_basis_independence(A.GOLAY_G)

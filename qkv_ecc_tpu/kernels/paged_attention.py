@@ -13,6 +13,17 @@ Key differences from the reference (deliberate, TPU-first):
     ANY codec word count (Mosaic requires 128-lane-aligned minor dims), and
     the decoded page arrives as K^T [head_dim, tokens] - exactly the RHS
     layout the QK^T matmul wants.
+  * SPLIT data/parity cache arrays (round 5, docs/split_parity_design.md):
+    k_cache/v_cache hold ONLY the int4-packed data nibbles - byte-identical
+    to the unprotected int4 cache - and the parity suffix lives in separate
+    k_parity/v_parity arrays. Scrub-mode reads (the production default)
+    take the data arrays alone: every page DMA is fully contiguous and the
+    kernel is literally the int4 kernel modulo the nibble extract. The
+    single-array layout's strided prefix-of-row DMAs (~0.08 ms per attended
+    page) and the fused write's parity-row read-modify-write (~0.13
+    ms/step) - both measured in round 4 - are gone. Correcting reads
+    (always-decode / stats / interpolation) stream data + parity as two
+    contiguous streams into adjacent VMEM rows and decode full rows.
   * BIT-PACKED storage + SWAR decode: int4 packs 8 values and hamming84 4
     codewords per int32 word, so one VPU op decodes 4-8 values (the
     reference decoded one codeword per thread-lane and stored one codeword
@@ -67,6 +78,8 @@ from . import swar
 _B_MASKS = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
 _NEG_INF = -1e30
 
+ECC_CODECS = ("hamming74", "hamming84", "golay")
+
 
 def _i32(x):
     return x.astype(jnp.int32)
@@ -81,7 +94,7 @@ def _nib_rows(w):
 
 
 def _golay_cw_tile(x, head_dim):
-    """Data-first split golay row tile [W, bs] -> 24-bit codeword tile
+    """Full (data ++ parity) golay row tile [W, bs] -> 24-bit codeword tile
     [C4, bs] (swar.golay_split_pack layout). Correcting-path only - scrub
     reads never rebuild codewords."""
     W = x.shape[0]
@@ -101,9 +114,10 @@ def _golay_cw_tile(x, head_dim):
 
 
 def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
-    """Decode one packed page tile [W, bs] -> ONE K^T value tile
-    [head_dim, bs] in op_t, head-dim order (packing padding sliced off).
-    Nibbles optionally shifted by the -8 zero point (exact in bf16).
+    """Decode one packed FULL-row page tile [W, bs] (data ++ parity) -> ONE
+    K^T value tile [head_dim, bs] in op_t, head-dim order (packing padding
+    sliced off). Nibbles optionally shifted by the -8 zero point (exact in
+    bf16).
 
     Every codec's value mapping is chosen so the decoded tile is IDENTITY-
     ordered over the head dim - the query needs no permutation and the
@@ -147,34 +161,33 @@ def _extract_kt_tile(codec, raw, head_dim, op_t, *, minus8):
     """Clean-page fast path: unpack WITHOUT correction (scrub mode).
 
     After write-path scrubbing every stored codeword is valid, and the
-    data-first row split (kernels/swar.py) means the kernel only DMA'd the
-    int4-packed DATA prefix of each row - so every ECC codec's read path
-    IS the unprotected-int4 read path: same bytes streamed, same nibble
-    split, zero correction network. Parity stayed in HBM, untouched. This
-    is what makes ECC 'patrol scrubbing' (DRAM-controller style) pay:
-    correct once at write, verify-free reads."""
+    split data/parity layout means the kernel only DMA'd the int4-packed
+    DATA arrays - so every ECC codec's read path IS the unprotected-int4
+    read path: same bytes streamed, same nibble split, zero correction
+    network. Parity stayed in HBM, untouched. This is what makes ECC
+    'patrol scrubbing' (DRAM-controller style) pay: correct once at write,
+    verify-free reads."""
     z = 8 if minus8 else 0
 
     def fin(t):
         return (_i32(t[:head_dim]) - z).astype(op_t)
 
-    # the tile may be data-prefix-only (the usual scrub DMA) or a full row
-    # (fallback when data_words is not sublane-aligned): slice the prefix
     dw = swar.data_words(codec, head_dim)
     x = _i32(raw)[:dw]
     if codec in ("int4", "hamming84", "golay"):
         lo, hi = swar.int4_split(x)
         return fin(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
     if codec == "hamming74":
-        G = dw // 4  # data prefix: 4 bit-sliced data planes
+        G = dw // 4  # data array: 4 bit-sliced data planes
         planes = [x[i * G : (i + 1) * G] for i in range(4)]
         return fin(swar.h74_sliced_unpack_values(planes, G))
     raise ValueError(f"scrub fast path does not support codec '{codec}'")
 
 
 def _count_errors(codec, raw, valid_lanes, head_dim):
-    """(corrected, detected) scalars for one packed page tile [W, bs],
-    masked to valid context tokens (valid_lanes: [1, bs] int32 0/1).
+    """(corrected, detected) scalars for one packed full-row page tile
+    [W, bs], masked to valid context tokens (valid_lanes: [1, bs] int32
+    0/1).
 
     Matches the jnp decode path's accounting: hamming74 counts nonzero
     syndromes as corrected; hamming84 counts singles/doubles; golay counts
@@ -213,29 +226,27 @@ def _count_errors(codec, raw, valid_lanes, head_dim):
 
 class _ChunkCopy:
     """Async HBM->VMEM copy of one chunk (pages_per_chunk pages, all KV
-    heads, K+V+scales) through a shared DMA semaphore. Mirrors the JAX
-    paged_attention MultiPageAsyncCopyDescriptor pattern: descriptors are
-    reconstructed identically at issue and wait sites.
+    heads, every streamed array) through a shared DMA semaphore. Mirrors
+    the JAX paged_attention MultiPageAsyncCopyDescriptor pattern:
+    descriptors are reconstructed identically at issue and wait sites.
 
-    In scrub mode the K/V VMEM buffers are allocated data_words wide and
-    only the rows [0, data_words) of each page are copied - the parity
-    suffix never leaves HBM (data-first row order, kernels/swar.py)."""
+    Every copy is a FULL page of its array - `hbm[layer, phys] ->
+    buf[slot, i]` - with no word-axis slicing: the split data/parity layout
+    makes each array's pages contiguous, so the DMA engine streams maximal
+    runs (the single-array layout's prefix-of-row copies were strided ~8 KB
+    runs with ~8 KB holes, measured ~0.08 ms/page of overhead)."""
 
-    def __init__(self, refs, bufs, sem, block_tables_ref, b, layer, chunk,
-                 slot, pages_per_chunk, max_pages, with_scales=True):
+    def __init__(self, pairs, sem, block_tables_ref, b, layer, chunk,
+                 pages_per_chunk, max_pages, slot):
         self._copies = []
-        if not with_scales:  # float codecs never read the scale pages
-            refs, bufs = refs[:2], bufs[:2]
         for i in range(pages_per_chunk):
             pidx = jnp.minimum(chunk * pages_per_chunk + i, max_pages - 1)
             phys = jnp.maximum(block_tables_ref[b, pidx], 0)
-            for hbm, buf in zip(refs, bufs):
-                kv_w = buf.shape[3] if len(buf.shape) == 5 else None
-                src = hbm.at[layer, phys]
-                if kv_w is not None and kv_w < hbm.shape[3]:
-                    src = hbm.at[layer, phys, :, 0:kv_w]
+            for hbm, buf in pairs:
                 self._copies.append(
-                    pltpu.make_async_copy(src, buf.at[slot, i], sem)
+                    pltpu.make_async_copy(
+                        hbm.at[layer, phys], buf.at[slot, i], sem
+                    )
                 )
 
     def start(self):
@@ -265,35 +276,48 @@ def _paged_attn_kernel(
     group: int,
     precision: str,
     fused_write: bool,
+    has_parity: bool,
     interpolate: bool,
     collect_stats: bool,
     read_inject_threshold: int | None,
     sliding_window: int | None,
     scrub: bool = False,
-    parity_rmw: bool = False,
     return_softmax_state: bool = False,
 ):
     refs = list(refs)
+    is_float_codec = codec in ("fp16", "fp8")
+    with_scales = not is_float_codec
     if fused_write:
-        (q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref,
-         k_hbm, v_hbm, ks_hbm, vs_hbm) = refs[:9]
-        del refs[:9]
-        out_ref, ko_ref, vo_ref, kso_ref, vso_ref = refs[:5]
+        q_ref, kn_ref, vn_ref, ksn_ref, vsn_ref = refs[:5]
         del refs[:5]
     else:
-        q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm = refs[:5]
-        del refs[:5]
-        out_ref = refs.pop(0)
+        q_ref = refs.pop(0)
+    k_hbm = refs.pop(0)
+    v_hbm = refs.pop(0)
+    kp_hbm = refs.pop(0) if has_parity else None
+    vp_hbm = refs.pop(0) if has_parity else None
+    ks_hbm = refs.pop(0)
+    vs_hbm = refs.pop(0)
+    out_ref = refs.pop(0)
+    if fused_write:
+        ko_ref = refs.pop(0)
+        vo_ref = refs.pop(0)
+        kpo_ref = refs.pop(0) if has_parity else None
+        vpo_ref = refs.pop(0) if has_parity else None
+        kso_ref = refs.pop(0)
+        vso_ref = refs.pop(0)
     if return_softmax_state:
         m_out_ref = refs.pop(0)
         l_out_ref = refs.pop(0)
     stats_ref = refs.pop(0) if collect_stats else None
-    if fused_write:
-        k_buf, v_buf, ks_buf, vs_buf, sem, wsem = refs[:6]
-        del refs[:6]
-    else:
-        k_buf, v_buf, ks_buf, vs_buf, sem = refs[:5]
-        del refs[:5]
+    k_buf = refs.pop(0)
+    v_buf = refs.pop(0)
+    kp_buf = refs.pop(0) if has_parity else None
+    vp_buf = refs.pop(0) if has_parity else None
+    ks_buf = refs.pop(0)
+    vs_buf = refs.pop(0)
+    sem = refs.pop(0)
+    wsem = refs.pop(0) if fused_write else None
     m_scr = refs.pop(0)
     l_scr = refs.pop(0)
     acc_scr = refs.pop(0)
@@ -303,10 +327,6 @@ def _paged_attn_kernel(
     edge_scr = (
         refs.pop(0) if (interpolate and codec == "hamming84") else None
     )
-    # scrub-mode fused write: staging tiles for the read-modify-write of
-    # the new token's page PARITY rows (see _write_token)
-    kp_buf = refs.pop(0) if parity_rmw else None
-    vp_buf = refs.pop(0) if parity_rmw else None
 
     b = pl.program_id(0)
     c = pl.program_id(1)
@@ -315,7 +335,7 @@ def _paged_attn_kernel(
     ctx = context_lens_ref[b]
     bs = block_size
     tokens_per_chunk = pages_per_chunk * bs
-    row_w = k_buf.shape[3]
+    data_w = k_buf.shape[3]
 
     def _read_flip_mask(i, h, t, shape):
         """Fresh Bernoulli flips on the raw packed nibbles at read time
@@ -324,24 +344,20 @@ def _paged_attn_kernel(
         (step-seed, layer, seq, chunk, page, head, tensor)."""
         uid = ((((layer * pl.num_programs(0) + b) * num_chunks + c)
                 * pages_per_chunk + i) * num_kv_heads + h) * 2 + t
-        base = uid * jnp.int32(row_w * bs)
+        base = uid * jnp.int32(data_w * bs)
         return swar.hash_flip_mask(
             rseed, base, shape, read_inject_threshold
         )
 
     def chunk_copy(chunk, slot):
+        pairs = [(k_hbm, k_buf), (v_hbm, v_buf)]
+        if has_parity:
+            pairs += [(kp_hbm, kp_buf), (vp_hbm, vp_buf)]
+        if with_scales:
+            pairs += [(ks_hbm, ks_buf), (vs_hbm, vs_buf)]
         return _ChunkCopy(
-            (k_hbm, v_hbm, ks_hbm, vs_hbm),
-            (k_buf, v_buf, ks_buf, vs_buf),
-            sem,
-            block_tables_ref,
-            b,
-            layer,
-            chunk,
-            slot,
-            pages_per_chunk,
-            max_pages,
-            with_scales=codec not in ("fp16", "fp8"),
+            pairs, sem, block_tables_ref, b, layer, chunk,
+            pages_per_chunk, max_pages, slot,
         )
 
     @pl.when(c == 0)
@@ -379,60 +395,28 @@ def _paged_attn_kernel(
             & (tok_page < (c + 1) * pages_per_chunk)
             & (tok_page < max_pages)
         )
-        kv_w = k_buf.shape[3]  # data_words in scrub mode, else full row
-        full_w = k_hbm.shape[3]
-
-        def _pin_copies():
-            """Parity-row RMW staging copies of the token's page (see
-            _overlay). Descriptors are reconstructed identically at the
-            start and wait sites (the _ChunkCopy pattern)."""
-            phys = jnp.maximum(block_tables_ref[b, tok_page], 0)
-            pw = full_w - kv_w
-            return [
-                pltpu.make_async_copy(
-                    hbm.at[layer, phys, :, pl.ds(kv_w, pw)], buf.at[0], wsem
-                )
-                for hbm, buf in ((k_hbm, kp_buf), (v_hbm, vp_buf))
-            ]
 
         def _wb_copies(i, slot):
-            """Write-back copies of the token's (overlaid) page: data pages
-            + scales, plus the merged parity rows in RMW mode."""
+            """Write-back copies of the token's (overlaid) page: every
+            streamed array's page goes back whole - data, parity (when
+            streamed), scales. Full contiguous pages, no RMW staging (the
+            split layout's parity pages are self-contained)."""
             phys = jnp.maximum(block_tables_ref[b, tok_page], 0)
-            is_float = codec in ("fp16", "fp8")
             wb_pairs = [(k_buf, ko_ref), (v_buf, vo_ref)]
-            if not is_float:
+            if has_parity:
+                wb_pairs += [(kp_buf, kpo_ref), (vp_buf, vpo_ref)]
+            if with_scales:
                 wb_pairs += [(ks_buf, kso_ref), (vs_buf, vso_ref)]
-            wb = []
-            for buf, out in wb_pairs:
-                dst = out.at[layer, phys]
-                if len(buf.shape) == 5 and buf.shape[3] < full_w:
-                    dst = out.at[layer, phys, :, 0:kv_w]
-                wb.append(pltpu.make_async_copy(buf.at[slot, i], dst, wsem))
-            if parity_rmw:
-                pw = full_w - kv_w
-                wb += [
-                    pltpu.make_async_copy(
-                        buf.at[0],
-                        out.at[layer, phys, :, pl.ds(kv_w, pw)],
-                        wsem,
-                    )
-                    for buf, out in ((kp_buf, ko_ref), (vp_buf, vo_ref))
-                ]
-            return wb
+            return [
+                pltpu.make_async_copy(
+                    buf.at[slot, i], out.at[layer, phys], wsem
+                )
+                for buf, out in wb_pairs
+            ]
 
     @pl.when(c * tokens_per_chunk < ctx)
     def _process():
         slot = c % 2
-
-        if fused_write and parity_rmw:
-            # issue the parity-row staging DMAs BEFORE blocking on the
-            # chunk's data DMAs: their latency hides under the chunk wait
-            @pl.when(write_here)
-            def _pin_start():
-                for p in _pin_copies():
-                    p.start()
-
         chunk_copy(c, slot).wait()
 
         if fused_write:
@@ -453,48 +437,35 @@ def _paged_attn_kernel(
 
                     @pl.when(i_in_chunk == i)
                     def _overlay():
-                        if parity_rmw:
-                            # scrub mode streamed only the data prefix, so
-                            # the new token's PARITY column is merged via a
-                            # read-modify-write of the token page's parity
-                            # rows (staging DMAs started before the chunk
-                            # wait above). The scratch is [1, H, pw, bs]
-                            # addressed through .at[0]: a DMA whose VMEM
-                            # operand is a RAW multi-dim ref hard-faults the
-                            # chip when the sublane dim is not a multiple of
-                            # 8 (v5e, minimal repro: [2,28,128] / [2,33,128]
-                            # HBM<->VMEM copies crash the TPU worker; the
-                            # same copies through a leading-unit-dim slice,
-                            # or per-head 2-D, work). ~70 KB/step.
-                            for p in _pin_copies():
-                                p.wait()
-                            for h in range(num_kv_heads):
-                                kp_buf[0, h] = jnp.where(
-                                    is_tok, _i32(kn_ref[h, kv_w:]),
-                                    _i32(kp_buf[0, h]),
-                                ).astype(kp_buf.dtype)
-                                vp_buf[0, h] = jnp.where(
-                                    is_tok, _i32(vn_ref[h, kv_w:]),
-                                    _i32(vp_buf[0, h]),
-                                ).astype(vp_buf.dtype)
-                        # kn_ref[h] is a native [W, 1] column. Mosaic
-                        # broadcast-selects want 32-bit operands: int codecs
-                        # store int32 natively; float codecs roundtrip
-                        # through f32 (exact for bf16/fp8).
-                        is_float = codec in ("fp16", "fp8")
-                        rt = jnp.float32 if is_float else jnp.int32
+                        # kn_ref[h] is a native [W, 1] column (data-only in
+                        # scrub mode, data ++ parity when parity streams).
+                        # Mosaic broadcast-selects want 32-bit operands: int
+                        # codecs store int32 natively; float codecs
+                        # roundtrip through f32 (exact for bf16/fp8).
+                        rt = jnp.float32 if is_float_codec else jnp.int32
                         for h in range(num_kv_heads):
                             k_buf[slot, i, h] = jnp.where(
                                 is_tok,
-                                kn_ref[h, :kv_w].astype(rt),
+                                kn_ref[h, :data_w].astype(rt),
                                 k_buf[slot, i, h].astype(rt),
                             ).astype(k_buf.dtype)
                             v_buf[slot, i, h] = jnp.where(
                                 is_tok,
-                                vn_ref[h, :kv_w].astype(rt),
+                                vn_ref[h, :data_w].astype(rt),
                                 v_buf[slot, i, h].astype(rt),
                             ).astype(v_buf.dtype)
-                        if not is_float:
+                            if has_parity:
+                                kp_buf[slot, i, h] = jnp.where(
+                                    is_tok,
+                                    _i32(kn_ref[h, data_w:]),
+                                    _i32(kp_buf[slot, i, h]),
+                                ).astype(kp_buf.dtype)
+                                vp_buf[slot, i, h] = jnp.where(
+                                    is_tok,
+                                    _i32(vn_ref[h, data_w:]),
+                                    _i32(vp_buf[slot, i, h]),
+                                ).astype(vp_buf.dtype)
+                        if with_scales:
                             # float codecs carry no scales (their scale
                             # pages are never DMA'd in, so writing the
                             # scratch back would store garbage)
@@ -507,8 +478,17 @@ def _paged_attn_kernel(
                         for w in _wb_copies(i, slot):
                             w.start()
 
-        is_float_codec = codec in ("fp16", "fp8")
         do_interp = interpolate and codec == "hamming84"
+
+        def row_tile(buf, pbuf, i, h):
+            """One (page, head) packed row tile: the data page rows, with
+            the parity page rows appended when parity streams (the concat
+            boundary data_w is sublane-aligned at production head dims)."""
+            x = buf[slot, i, h]
+            if pbuf is not None:
+                return jnp.concatenate([_i32(x), _i32(pbuf[slot, i, h])],
+                                       axis=0)
+            return x
 
         def interp_pages(pages_dec, pages_et, chunk_base, prev_edge_col):
             """SECDED double-error temporal interpolation across the chunk's
@@ -558,7 +538,9 @@ def _paged_attn_kernel(
                         jnp.int32, (1, bs), 1
                     )
                     valid = (lane < ctx).astype(jnp.int32)
-                    for t, buf in enumerate((k_buf, v_buf)):
+                    for t, (buf, pbuf) in enumerate(
+                        ((k_buf, kp_buf), (v_buf, vp_buf))
+                    ):
                         if read_inject_threshold is not None:
                             # int4 read-inject: stats[0] counts flipped
                             # READ bits over the valid context (the
@@ -573,7 +555,8 @@ def _paged_attn_kernel(
                             )
                         else:
                             cr, dt = _count_errors(
-                                codec, buf[slot, i, h], valid, head_dim
+                                codec, row_tile(buf, pbuf, i, h), valid,
+                                head_dim,
                             )
                             corr_acc = corr_acc + cr
                             det_acc = det_acc + dt
@@ -664,7 +647,9 @@ def _paged_attn_kernel(
             # (corrections were applied and re-encoded at WRITE time, see
             # swar.scrub_codewords), so decode degenerates to unconditional
             # data-bit extraction - no per-page branches, no correction
-            # network, no write-backs beyond the normal token overlay.
+            # network, no parity traffic at all (the parity arrays are not
+            # even kernel operands; the new token's parity column is
+            # scattered outside the kernel, models/runtime.py).
             for i in range(pages_per_chunk):
                 for h in range(num_kv_heads):
                     kt = _extract_kt_tile(
@@ -686,12 +671,15 @@ def _paged_attn_kernel(
                 # int32 tiles via bitcast; doubles masks expand the same way.
                 kd, ket, vd, vet = [], [], [], []
                 for i in range(pages_per_chunk):
-                    for buf, dl, el in ((k_buf, kd, ket), (v_buf, vd, vet)):
-                        # data-first split rows: rebuild byte-slot codeword
-                        # words (lo = values [0, pv/2), hi = the rest), so
-                        # the [lo; hi] bitcast is identity-ordered like
+                    for (buf, pbuf), dl, el in (
+                        ((k_buf, kp_buf), kd, ket),
+                        ((v_buf, vp_buf), vd, vet),
+                    ):
+                        # split rows: rebuild byte-slot codeword words
+                        # (lo = values [0, pv/2), hi = the rest), so the
+                        # [lo; hi] bitcast is identity-ordered like
                         # _decode_kt_tile's hamming84 path
-                        x = _i32(buf[slot, i, h])
+                        x = _i32(row_tile(buf, pbuf, i, h))
                         half = x.shape[0] // 2
                         decs, dbls = [], []
                         for piece in swar.h84_rebuild_cw_words(
@@ -722,8 +710,8 @@ def _paged_attn_kernel(
                     kt = (kd[i][:head_dim] - 8).astype(op_t)
                     vt = vd[i][:head_dim].astype(op_t)
                 else:
-                    kt_raw = k_buf[slot, i, h]
-                    vt_raw = v_buf[slot, i, h]
+                    kt_raw = row_tile(k_buf, kp_buf, i, h)
+                    vt_raw = row_tile(v_buf, vp_buf, i, h)
                     if read_inject_threshold is not None:
                         # corrupt the read VALUES only - the cache (and the
                         # fused write-back above) stays clean, so the same
@@ -757,8 +745,8 @@ def _paged_attn_kernel(
 
 def _check_scrub_flags(scrub, codec, use_interpolation, collect_stats,
                        read_inject_ber):
-    """Scrub mode streams/decodes only the data-first row prefix, so every
-    feature that must SEE parity bits (or raw-bit corruption) is rejected."""
+    """Scrub mode streams/decodes only the data arrays, so every feature
+    that must SEE parity bits (or raw-bit corruption) is rejected."""
     if not scrub:
         return
     if codec not in ("int4", "hamming74", "hamming84", "golay"):
@@ -793,28 +781,25 @@ def _read_threshold(read_inject_ber: float, codec: str):
     return min(int(float(read_inject_ber) * (2.0**32)), 0xFFFFFFFF)
 
 
-def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
-                  sm_scale, pages_per_chunk):
-    batch, num_q_heads, head_dim = query.shape
-    _, num_blocks, num_kv_heads, row_w, bs = k_cache.shape
-    assert bs == block_size, (bs, block_size)
-    group = num_q_heads // num_kv_heads
-    assert group * num_kv_heads == num_q_heads
-    if not C.use_interpret() and block_size % 128 != 0:
+def _resolve_parity(codec, head_dim, scrub, k_parity, v_parity):
+    """Decide the read-path shape: (extract, has_parity, parity operands).
+
+    extract: the scrub extract-only fast path (data arrays alone).
+    has_parity: the kernel streams the parity arrays (correcting reads).
+    With scrub + extract_ok the parity operands are IGNORED (reads never
+    touch parity); otherwise a parity-bearing codec REQUIRES them."""
+    if codec not in ECC_CODECS or swar.parity_words(codec, head_dim) == 0:
+        return False, False, None, None
+    extract = scrub and swar.scrub_extract_ok(codec, head_dim)
+    if extract:
+        return True, False, None, None
+    if k_parity is None or v_parity is None:
         raise ValueError(
-            f"TPU paged attention requires block_size % 128 == 0, got "
-            f"{block_size} (token-minor pages must be lane-aligned)"
+            f"codec '{codec}' needs k_parity/v_parity operands for "
+            "correcting reads (split cache layout); only the scrub "
+            "extract path runs without them"
         )
-    if num_pages is None:
-        num_pages = block_table.shape[1]
-    if sm_scale is None:
-        sm_scale = float(head_dim) ** -0.5
-    if pages_per_chunk is None:
-        pages_per_chunk = max(1, 256 // block_size)
-    cp = min(pages_per_chunk, num_pages)
-    num_chunks = C.cdiv(num_pages, cp)
-    return (batch, num_q_heads, head_dim, num_kv_heads, row_w, group,
-            num_pages, float(sm_scale), cp, num_chunks)
+    return False, True, k_parity, v_parity
 
 
 @functools.partial(
@@ -833,6 +818,8 @@ def paged_attention_ecc(
     block_table,
     context_lens,
     layer_idx,
+    k_parity=None,
+    v_parity=None,
     *,
     codec: str = "hamming84",
     block_size: int = 128,
@@ -852,16 +839,20 @@ def paged_attention_ecc(
 
     Args:
         query: [batch, num_q_heads, head_dim] (one decode token per sequence).
-        k_cache/v_cache: [num_layers, num_blocks, num_kv_heads, row_words,
-            block_size] - token-minor bit-packed pages (int32 for the integer
-            codecs; see kernels/swar.py for the packings).
+        k_cache/v_cache: [num_layers, num_blocks, num_kv_heads, data_words,
+            block_size] - token-minor bit-packed DATA pages (int32 for the
+            integer codecs; see kernels/swar.py for the packings).
+        k_parity/v_parity: [num_layers, num_blocks, num_kv_heads,
+            parity_words, block_size] parity pages (split layout). Required
+            for correcting reads of the ECC codecs; ignored in scrub mode
+            (reads never touch parity); None for int4/fp16/fp8.
         k_scales/v_scales: [num_layers, num_blocks, num_kv_heads, block_size].
         block_table: int32 [batch, max_blocks] (-1 for unallocated).
         context_lens: int32 [batch].
         layer_idx: which layer of the stacked cache to attend over.
         codec: int4 | hamming74 | hamming84 | golay | fp16 | fp8.
         num_pages: static page-loop bound (default: block_table.shape[1]).
-        pages_per_chunk: KV pages DMA'd per grid step (default: ~256 tokens).
+        pages_per_chunk: KV pages DMA'd per grid step (default: ~512 tokens).
         precision: "fast" = bf16 matmul operands (nibbles are exact; only
             the query and softmax weights round, ~2^-8 relative), "highest"
             = 6-pass f32 for bit-for-bit verification runs.
@@ -876,27 +867,16 @@ def paged_attention_ecc(
     On real TPUs block_size must be a multiple of 128 (the HBM page slice's
     minor dim must be lane-aligned); the CPU interpreter accepts any size.
     """
-    (batch, num_q_heads, head_dim, num_kv_heads, row_w, group, num_pages,
+    (batch, num_q_heads, head_dim, num_kv_heads, data_w, group, num_pages,
      sm_scale, cp, num_chunks) = _common_setup(
         query, k_cache, block_size, codec, num_pages, block_table, sm_scale,
         pages_per_chunk)
     _check_scrub_flags(scrub, codec, use_interpolation, collect_stats,
                        read_inject_ber)
-    # scrub-mode reads stream ONLY the data-first row prefix: the K/V VMEM
-    # buffers are data_words wide and the DMA descriptors slice the HBM
-    # pages accordingly (parity never leaves HBM)
-    # extract-only reads need every value in the data prefix; golay head
-    # dims like 33/60 violate that (swar.scrub_extract_ok) and read through
-    # the correcting decode path instead - observationally identical on a
-    # scrubbed cache, just without the extract speedup.
-    extract = scrub and swar.scrub_extract_ok(codec, head_dim)
-    kv_w = swar.data_words(codec, head_dim) if extract else row_w
-    if kv_w % 8:
-        # chunk DMAs slice HBM page rows at sublane granularity; a width
-        # that is not a multiple of 8 sublanes hard-faults the chip (v5e,
-        # measured) - stream full rows and let the extract path slice the
-        # prefix in VMEM instead. Production head dims (64/128) are aligned.
-        kv_w = row_w
+    extract, has_parity, k_parity, v_parity = _resolve_parity(
+        codec, head_dim, scrub, k_parity, v_parity
+    )
+    pw = k_parity.shape[3] if has_parity else 0
 
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
@@ -930,21 +910,32 @@ def paged_attention_ecc(
         )
         out_shape.append(jax.ShapeDtypeStruct((batch, 2), jnp.int32))
 
+    n_hbm_in = 4 + (2 if has_parity else 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_chunks),
         in_specs=[
             pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        ] + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_hbm_in)],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), k_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, data_w, block_size),
+                       k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, data_w, block_size),
+                       v_cache.dtype),
+        ]
+        + (
+            [
+                pltpu.VMEM((2, cp, num_kv_heads, pw, block_size),
+                           k_parity.dtype),
+                pltpu.VMEM((2, cp, num_kv_heads, pw, block_size),
+                           v_parity.dtype),
+            ]
+            if has_parity
+            else []
+        )
+        + [
             pltpu.VMEM((2, cp, num_kv_heads, block_size), k_scales.dtype),
             pltpu.VMEM((2, cp, num_kv_heads, block_size), v_scales.dtype),
             pltpu.SemaphoreType.DMA,
@@ -954,7 +945,7 @@ def paged_attention_ecc(
         ]
         + (
             # cross-chunk interpolation edge columns (see _paged_attn_kernel)
-            [pltpu.VMEM((2, num_kv_heads, 4 * row_w, 128), jnp.int32)]
+            [pltpu.VMEM((2, num_kv_heads, 4 * (data_w + pw), 128), jnp.int32)]
             if use_interpolation and codec == "hamming84"
             else []
         ),
@@ -973,6 +964,7 @@ def paged_attention_ecc(
         group=group,
         precision=precision,
         fused_write=False,
+        has_parity=has_parity,
         interpolate=use_interpolation,
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
@@ -981,6 +973,10 @@ def paged_attention_ecc(
         scrub=extract,
     )
 
+    operands = [q4, k_cache, v_cache]
+    if has_parity:
+        operands += [k_parity, v_parity]
+    operands += [k_scales, v_scales]
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -991,11 +987,7 @@ def paged_attention_ecc(
                    jnp.asarray(read_inject_seed, jnp.int32)]),
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
-        q4,
-        k_cache,
-        v_cache,
-        k_scales,
-        v_scales,
+        *operands,
     )
     out = outs[0].reshape(batch, num_q_heads, head_dim)
     rest = list(outs[1:])
@@ -1008,13 +1000,42 @@ def paged_attention_ecc(
     return out
 
 
+def _common_setup(query, k_cache, block_size, codec, num_pages, block_table,
+                  sm_scale, pages_per_chunk):
+    batch, num_q_heads, head_dim = query.shape
+    _, num_blocks, num_kv_heads, data_w, bs = k_cache.shape
+    assert bs == block_size, (bs, block_size)
+    group = num_q_heads // num_kv_heads
+    assert group * num_kv_heads == num_q_heads
+    if not C.use_interpret() and block_size % 128 != 0:
+        raise ValueError(
+            f"TPU paged attention requires block_size % 128 == 0, got "
+            f"{block_size} (token-minor pages must be lane-aligned)"
+        )
+    if num_pages is None:
+        num_pages = block_table.shape[1]
+    if sm_scale is None:
+        sm_scale = float(head_dim) ** -0.5
+    if pages_per_chunk is None:
+        # 512-token chunks: at pages_per_chunk=2 the double-buffered DMA
+        # pipeline drained between chunk waits and the marginal paged-KV
+        # stream sat at ~320 GB/s (39% of the v5e pin rate) even fully
+        # contiguous; VMEM has ~60x headroom (RESULTS.md round-4 roofline)
+        pages_per_chunk = max(1, 512 // block_size)
+    cp = min(pages_per_chunk, num_pages)
+    num_chunks = C.cdiv(num_pages, cp)
+    return (batch, num_q_heads, head_dim, num_kv_heads, data_w, group,
+            num_pages, float(sm_scale), cp, num_chunks)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("codec", "block_size", "num_pages", "sm_scale",
                      "pages_per_chunk", "precision", "use_interpolation",
                      "collect_stats", "read_inject_ber", "sliding_window",
-                     "scrub", "debug_no_parity_rmw"),
-    donate_argnums=(5, 6, 7, 8),
+                     "scrub"),
+    donate_argnames=("k_cache", "v_cache", "k_scales", "v_scales",
+                     "k_parity", "v_parity"),
 )
 def paged_attention_ecc_write_attend(
     query,
@@ -1029,6 +1050,8 @@ def paged_attention_ecc_write_attend(
     block_table,
     context_lens,
     layer_idx,
+    k_parity=None,
+    v_parity=None,
     *,
     scrub: bool = False,
     codec: str = "hamming84",
@@ -1042,7 +1065,6 @@ def paged_attention_ecc_write_attend(
     read_inject_ber: float = 0.0,
     read_inject_seed=0,
     sliding_window: int | None = None,
-    debug_no_parity_rmw: bool = False,
 ):
     """Fused decode-step cache WRITE + paged attention in ONE kernel.
 
@@ -1055,46 +1077,50 @@ def paged_attention_ecc_write_attend(
 
     Args:
         query: [batch, num_q_heads, head_dim].
-        k_new/v_new: [batch, num_kv_heads, row_words] packed storage words of
-            the new token (already encoded + fault-injected + packed, see
-            kernels/swar.py pack_codewords).
+        k_new/v_new: packed storage words of the new token (already encoded
+            + fault-injected + packed, kernels/swar.py pack_codewords):
+            [batch, num_kv_heads, data_words] in scrub-extract mode (the
+            parity column is the caller's to scatter - it is not a kernel
+            operand), [batch, num_kv_heads, row_words] (data ++ parity)
+            when parity streams, full rows for int4/fp16/fp8.
         ks_new/vs_new: [batch, num_kv_heads] f32 dequant scales.
-        k_cache/v_cache/k_scales/v_scales: token-minor paged cache arrays
-            (donated; returned updated).
+        k_cache/v_cache/k_scales/v_scales (+ k_parity/v_parity when parity
+            streams): token-minor split paged cache arrays (donated;
+            returned updated).
         context_lens: [batch] int32, INCLUDING the new token (the column is
             written at index context_lens - 1 and participates in attention).
 
     Returns:
         (out [batch, num_q_heads, head_dim], k_cache, v_cache, k_scales,
-        v_scales[, stats [batch, 2]]).
+        v_scales[, k_parity, v_parity when they were operands]
+        [, stats [batch, 2]]).
     """
-    (batch, num_q_heads, head_dim, num_kv_heads, row_w, group, num_pages,
+    (batch, num_q_heads, head_dim, num_kv_heads, data_w, group, num_pages,
      sm_scale, cp, num_chunks) = _common_setup(
         query, k_cache, block_size, codec, num_pages, block_table, sm_scale,
         pages_per_chunk)
 
     _check_scrub_flags(scrub, codec, use_interpolation, collect_stats,
                        read_inject_ber)
-    # extract-only reads need every value in the data prefix; golay head
-    # dims like 33/60 violate that (swar.scrub_extract_ok) and read through
-    # the correcting decode path instead - observationally identical on a
-    # scrubbed cache, just without the extract speedup.
-    extract = scrub and swar.scrub_extract_ok(codec, head_dim)
-    kv_w = swar.data_words(codec, head_dim) if extract else row_w
-    if kv_w % 8:
-        # chunk DMAs slice HBM page rows at sublane granularity; a width
-        # that is not a multiple of 8 sublanes hard-faults the chip (v5e,
-        # measured) - stream full rows and let the extract path slice the
-        # prefix in VMEM instead. Production head dims (64/128) are aligned.
-        kv_w = row_w
-    parity_rmw = kv_w < row_w
-    if parity_rmw and debug_no_parity_rmw:
-        # measurement-isolation knob: skip the parity-row read-modify-write
-        # (staging DMAs + merge + write-back). The stored parity suffix goes
-        # STALE - decoded values are unaffected (scrub reads never touch
-        # parity) but the cache no longer holds valid codewords. Timing
-        # experiments only (scripts/wa_bench.py).
-        parity_rmw = False
+    if scrub and swar.scrub_extract_ok(codec, head_dim) and (
+        k_parity is not None or v_parity is not None
+    ):
+        raise ValueError(
+            "scrub-extract write_attend must not receive the parity arrays "
+            "(they are donate-marked but never read or returned - scatter "
+            "the new token's parity column outside the kernel instead, "
+            "models/runtime.py)"
+        )
+    extract, has_parity, k_parity, v_parity = _resolve_parity(
+        codec, head_dim, scrub, k_parity, v_parity
+    )
+    pw = k_parity.shape[3] if has_parity else 0
+    kn_w = data_w + pw  # new-token column width the kernel consumes
+    if k_new.shape[-1] != kn_w:
+        raise ValueError(
+            f"k_new last dim {k_new.shape[-1]} != expected {kn_w} "
+            f"({'data-only column in scrub-extract mode' if extract else 'data ++ parity rows'})"
+        )
     q4 = query.reshape(batch, num_kv_heads, group, head_dim)
 
     def q_map(b, c, layer, bt, cl):
@@ -1109,21 +1135,42 @@ def paged_attention_ecc_write_attend(
     def stats_map(b, c, layer, bt, cl):
         return (b, 0)
 
+    n_hbm_in = 4 + (2 if has_parity else 0)
+    in_specs = [
+        pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (None, num_kv_heads, kn_w, 1), new_map,
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, num_kv_heads, kn_w, 1), new_map,
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, 1, num_kv_heads), new_scale_map,
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (None, 1, num_kv_heads), new_scale_map,
+            memory_space=pltpu.VMEM,
+        ),
+    ] + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_hbm_in)]
+
     out_specs = [
         pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.HBM),
-        pl.BlockSpec(memory_space=pltpu.HBM),
-        pl.BlockSpec(memory_space=pltpu.HBM),
-        pl.BlockSpec(memory_space=pltpu.HBM),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct(q4.shape, query.dtype),
-        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        jax.ShapeDtypeStruct(k_scales.shape, k_scales.dtype),
-        jax.ShapeDtypeStruct(v_scales.shape, v_scales.dtype),
-    ]
+    ] + [pl.BlockSpec(memory_space=pltpu.HBM) for _ in range(n_hbm_in)]
+    out_shape = [jax.ShapeDtypeStruct(q4.shape, query.dtype)]
+    # HBM operand order (inputs 8.. after the 3 scalar-prefetch + 5 VMEM):
+    # k_cache, v_cache, [k_parity, v_parity], k_scales, v_scales; the same
+    # order as outputs 1.. - aliased pairwise for guaranteed in-place update
+    hbm_arrays = [k_cache, v_cache]
+    if has_parity:
+        hbm_arrays += [k_parity, v_parity]
+    hbm_arrays += [k_scales, v_scales]
+    out_shape += [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in hbm_arrays]
+    aliases = {8 + i: 1 + i for i in range(n_hbm_in)}
     if collect_stats:
         out_specs.append(
             pl.BlockSpec((None, 2), stats_map, memory_space=pltpu.SMEM)
@@ -1133,34 +1180,25 @@ def paged_attention_ecc_write_attend(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(batch, num_chunks),
-        in_specs=[
-            pl.BlockSpec((None, num_kv_heads, group, head_dim), q_map,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (None, num_kv_heads, row_w, 1), new_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, num_kv_heads, row_w, 1), new_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, 1, num_kv_heads), new_scale_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (None, 1, num_kv_heads), new_scale_map,
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), k_cache.dtype),
-            pltpu.VMEM((2, cp, num_kv_heads, kv_w, block_size), v_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, data_w, block_size),
+                       k_cache.dtype),
+            pltpu.VMEM((2, cp, num_kv_heads, data_w, block_size),
+                       v_cache.dtype),
+        ]
+        + (
+            [
+                pltpu.VMEM((2, cp, num_kv_heads, pw, block_size),
+                           k_parity.dtype),
+                pltpu.VMEM((2, cp, num_kv_heads, pw, block_size),
+                           v_parity.dtype),
+            ]
+            if has_parity
+            else []
+        )
+        + [
             pltpu.VMEM((2, cp, num_kv_heads, block_size), k_scales.dtype),
             pltpu.VMEM((2, cp, num_kv_heads, block_size), v_scales.dtype),
             pltpu.SemaphoreType.DMA,
@@ -1170,18 +1208,8 @@ def paged_attention_ecc_write_attend(
             pltpu.VMEM((num_q_heads, head_dim), jnp.float32),
         ]
         + (
-            [pltpu.VMEM((2, num_kv_heads, 4 * row_w, 128), jnp.int32)]
+            [pltpu.VMEM((2, num_kv_heads, 4 * (data_w + pw), 128), jnp.int32)]
             if use_interpolation and codec == "hamming84"
-            else []
-        )
-        + (
-            [
-                pltpu.VMEM((1, num_kv_heads, row_w - kv_w, block_size),
-                           k_cache.dtype),
-                pltpu.VMEM((1, num_kv_heads, row_w - kv_w, block_size),
-                           v_cache.dtype),
-            ]
-            if parity_rmw
             else []
         ),
     )
@@ -1199,7 +1227,7 @@ def paged_attention_ecc_write_attend(
         group=group,
         precision=precision,
         fused_write=True,
-        parity_rmw=parity_rmw,
+        has_parity=has_parity,
         interpolate=use_interpolation,
         collect_stats=collect_stats,
         read_inject_threshold=_read_threshold(read_inject_ber, codec),
@@ -1211,9 +1239,7 @@ def paged_attention_ecc_write_attend(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        # input indices include the 3 scalar-prefetch args: caches are
-        # inputs 8..11 -> outputs 1..4 (guaranteed in-place update)
-        input_output_aliases={8: 1, 9: 2, 10: 3, 11: 4},
+        input_output_aliases=aliases,
         interpret=C.use_interpret(),
     )(
         jnp.stack([jnp.asarray(layer_idx, jnp.int32),
@@ -1221,19 +1247,16 @@ def paged_attention_ecc_write_attend(
         block_table.astype(jnp.int32),
         context_lens.astype(jnp.int32),
         q4,
-        k_new.reshape(batch, num_kv_heads, row_w, 1).astype(k_cache.dtype),
-        v_new.reshape(batch, num_kv_heads, row_w, 1).astype(v_cache.dtype),
+        k_new.reshape(batch, num_kv_heads, kn_w, 1).astype(k_cache.dtype),
+        v_new.reshape(batch, num_kv_heads, kn_w, 1).astype(v_cache.dtype),
         ks_new.reshape(batch, 1, num_kv_heads).astype(k_scales.dtype),
         vs_new.reshape(batch, 1, num_kv_heads).astype(v_scales.dtype),
-        k_cache,
-        v_cache,
-        k_scales,
-        v_scales,
+        *hbm_arrays,
     )
     out = outs[0].reshape(batch, num_q_heads, head_dim)
-    res = (out, outs[1], outs[2], outs[3], outs[4])
+    res = (out,) + tuple(outs[1 : 1 + n_hbm_in])
     if collect_stats:
-        return res + (outs[5],)
+        return res + (outs[1 + n_hbm_in],)
     return res
 
 
@@ -1243,16 +1266,26 @@ def paged_attention_ecc_write_attend(
 # =============================================================================
 
 
-def gather_pages(cache, block_table, layer_idx, num_pages):
+def gather_pages(cache, block_table, layer_idx, num_pages, parity=None):
     """Gather [batch, num_pages*block_size, kv_heads, row_words] token-major
     rows from a token-minor stacked paged cache using the block table
-    (invalid pages clamp to block 0)."""
-    table = jnp.maximum(block_table[:, :num_pages], 0)  # [batch, pages]
-    layer = cache[layer_idx]  # [blocks, heads, w, bs]
-    gathered = layer[table]  # [batch, pages, heads, w, bs]
-    b, p, h, w, bs = gathered.shape
-    # -> [batch, pages, bs, heads, w] -> [batch, tokens, heads, w]
-    return jnp.transpose(gathered, (0, 1, 4, 2, 3)).reshape(b, p * bs, h, w)
+    (invalid pages clamp to block 0). With `parity` (split layout), the
+    parity words are gathered too and appended on the word axis - full
+    logical rows."""
+    def one(arr):
+        table = jnp.maximum(block_table[:, :num_pages], 0)  # [batch, pages]
+        layer = arr[layer_idx]  # [blocks, heads, w, bs]
+        gathered = layer[table]  # [batch, pages, heads, w, bs]
+        b, p, h, w, bs = gathered.shape
+        # -> [batch, pages, bs, heads, w] -> [batch, tokens, heads, w]
+        return jnp.transpose(gathered, (0, 1, 4, 2, 3)).reshape(
+            b, p * bs, h, w
+        )
+
+    rows = one(cache)
+    if parity is not None:
+        rows = jnp.concatenate([rows, one(parity)], axis=-1)
+    return rows
 
 
 def gather_scales(scales, block_table, layer_idx, num_pages):
@@ -1274,6 +1307,8 @@ def paged_attention_ecc_reference(
     block_table,
     context_lens,
     layer_idx,
+    k_parity=None,
+    v_parity=None,
     *,
     codec: str = "hamming84",
     block_size: int = 128,
@@ -1285,15 +1320,15 @@ def paged_attention_ecc_reference(
     Matches the fused kernel's decode semantics (golay zeroes uncorrectable
     codewords)."""
     batch, num_q_heads, head_dim = query.shape
-    _, num_blocks, num_kv_heads, row_w, bs = k_cache.shape
+    _, num_blocks, num_kv_heads, data_w, bs = k_cache.shape
     group = num_q_heads // num_kv_heads
     if num_pages is None:
         num_pages = block_table.shape[1]
     if sm_scale is None:
         sm_scale = float(head_dim) ** -0.5
 
-    k_raw = gather_pages(k_cache, block_table, layer_idx, num_pages)
-    v_raw = gather_pages(v_cache, block_table, layer_idx, num_pages)
+    k_raw = gather_pages(k_cache, block_table, layer_idx, num_pages, k_parity)
+    v_raw = gather_pages(v_cache, block_table, layer_idx, num_pages, v_parity)
 
     if codec in ("fp16", "fp8"):
         k = k_raw.astype(jnp.float32)

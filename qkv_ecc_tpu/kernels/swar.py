@@ -498,6 +498,38 @@ def data_words(codec: str, head_dim: int) -> int:
     return head_dim  # fp16 / fp8: the whole row is data
 
 
+def parity_words(codec: str, head_dim: int) -> int:
+    """int32 words of the row's parity suffix (0 for int4/fp16/fp8 - their
+    rows are all data). Round 5 stores this suffix in PHYSICALLY SEPARATE
+    cache arrays (cache/layout.py): the data arrays become byte-identical
+    to the unprotected int4 cache (fully contiguous page DMAs) and the
+    parity suffix is scattered/streamed independently - removing the
+    strided-DMA and parity-RMW overhead terms measured in round 4
+    (RESULTS.md, docs/split_parity_design.md)."""
+    return row_words(codec, head_dim) - data_words(codec, head_dim)
+
+
+def split_rows(codec: str, packed, head_dim: int, axis: int = -1):
+    """Split full packed rows [..., row_words] (pack_codewords output) into
+    the (data, parity) pair stored in the split cache arrays. Pure slicing
+    at the data-first boundary; parity is None when the codec has none."""
+    dw = data_words(codec, head_dim)
+    packed = jnp.moveaxis(packed, axis, -1)
+    if parity_words(codec, head_dim) == 0:
+        return jnp.moveaxis(packed, -1, axis), None
+    return (
+        jnp.moveaxis(packed[..., :dw], -1, axis),
+        jnp.moveaxis(packed[..., dw:], -1, axis),
+    )
+
+
+def join_rows(codec: str, data, parity, axis: int = -1):
+    """Inverse of split_rows: rebuild full rows for the jnp decode paths."""
+    if parity is None:
+        return data
+    return jnp.concatenate([data, parity], axis=axis)
+
+
 def scrub_extract_ok(codec: str, head_dim: int) -> bool:
     """True iff the scrub extract-only read path is available: every value
     in [0, head_dim) must live in the row's int4-packed data prefix. Only

@@ -63,11 +63,6 @@ class KVCachePolicy:
     # matter: read-time injection, interpolation, and per-read error-stat
     # collection (see models/runtime.py use_scrub).
     scrub: bool = True
-    # Measurement-isolation knob (scripts/rmw_iso.py): skip the fused
-    # kernel's parity-row read-modify-write. Decoded values are unaffected
-    # (scrub reads never touch parity) but the stored parity suffix goes
-    # STALE - timing experiments only, never production.
-    debug_no_parity_rmw: bool = False
 
     def with_seed(self, seed: int) -> "KVCachePolicy":
         return dataclasses.replace(self, seed=seed)

@@ -105,17 +105,27 @@ def _write_tokens(state, layer_idx, block_table, positions, kc, vc, ks, vs):
     """Scatter S encoded+PACKED tokens of every sequence into the paged
     cache (token-minor layout: cache[layer, block, head, word, slot]).
 
-    kc/vc: [B, S, H, W] packed storage words (kernels/swar.py) or raw
-    values for fp16/fp8; ks/vs: [B, S, H] or None; positions: [B, S].
+    kc/vc: [B, S, H, W] FULL packed storage rows (kernels/swar.py) or raw
+    values for fp16/fp8 - split at the data/parity boundary here (the
+    round-5 split cache layout); ks/vs: [B, S, H] or None; positions:
+    [B, S].
     """
     bs = state["k_cache"].shape[4]
+    dw = state["k_cache"].shape[3]
     phys = jnp.take_along_axis(block_table, positions // bs, axis=1)  # [B, S]
     slots = positions % bs
     # scatter: cache[layer, phys[b,s], h, :, slot[b,s]] = cw[b, s, h, :]
     kc = kc.astype(state["k_cache"].dtype)
     vc = vc.astype(state["v_cache"].dtype)
-    state["k_cache"] = state["k_cache"].at[layer_idx, phys, :, :, slots].set(kc)
-    state["v_cache"] = state["v_cache"].at[layer_idx, phys, :, :, slots].set(vc)
+    state["k_cache"] = state["k_cache"].at[
+        layer_idx, phys, :, :, slots].set(kc[..., :dw])
+    state["v_cache"] = state["v_cache"].at[
+        layer_idx, phys, :, :, slots].set(vc[..., :dw])
+    if "k_parity" in state:
+        state["k_parity"] = state["k_parity"].at[
+            layer_idx, phys, :, :, slots].set(kc[..., dw:])
+        state["v_parity"] = state["v_parity"].at[
+            layer_idx, phys, :, :, slots].set(vc[..., dw:])
     if ks is not None:
         state["k_scales"] = state["k_scales"].at[layer_idx, phys, :, slots].set(ks)
         state["v_scales"] = state["v_scales"].at[layer_idx, phys, :, slots].set(vs)
@@ -332,6 +342,20 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
             _stacked_layer_kv_keys(len(params["layers"]), kv_key),
             _write_mask_shape(policy, B, cfg),
         )
+    # Split cache layout (round 5): in scrub-extract mode the kernel sees
+    # ONLY the data arrays (fully contiguous int4-shaped page DMAs); the
+    # new token's parity columns are collected across layers and scattered
+    # into the parity arrays in ONE batched jnp update per K/V at the end
+    # of the step (per-layer scatters would pay ~48 fusion-launch taxes).
+    # Parity is never read this step, so deferring the write is invisible.
+    has_parity = "k_parity" in state
+    extract = (
+        use_scrub and has_parity
+        and swar.scrub_extract_ok(policy.codec, cfg.head_dim)
+    )
+    stream_parity = has_parity and not extract
+    dw = state["k_cache"].shape[3]
+    k_par_cols, v_par_cols = [], []
     for i, lp in enumerate(params["layers"]):
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
@@ -348,17 +372,27 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
             lv_mask = hoisted_masks[i, 1] if logical_hoist else None
             kc, ks, _ = encode_kv(k, policy, kk, mask=lk_mask)
             vc, vs, _ = encode_kv(v, policy, vk, mask=lv_mask)
-        kc = pack_kv(kc, policy, cfg.head_dim)
-        vc = pack_kv(vc, policy, cfg.head_dim)
+        kc = pack_kv(kc, policy, cfg.head_dim)[:, 0]  # [B, Hkv, W] full rows
+        vc = pack_kv(vc, policy, cfg.head_dim)[:, 0]
         if ks is None:  # float codecs carry no dequant scales
-            ks = vs = jnp.ones(kc.shape[:3], jnp.float32)
+            ks = vs = jnp.ones((B, 1) + kc.shape[1:2], jnp.float32)
+        if extract:
+            # kernel consumes the data prefix only; parity columns deferred
+            k_par_cols.append(kc[..., dw:])
+            v_par_cols.append(vc[..., dw:])
+            kc, vc = kc[..., :dw], vc[..., :dw]
+            parity_args = ()
+        elif stream_parity:
+            parity_args = (state["k_parity"], state["v_parity"])
+        else:
+            parity_args = ()
         # fused write+attend: the new token's codeword column is inserted
         # into its page inside the kernel and the caches are updated
         # in-place (input/output aliasing) - XLA never copies them.
         outs = paged_attention_ecc_write_attend(
             q[:, 0],  # [B, Hq, D]
-            kc[:, 0],  # [B, Hkv, W]
-            vc[:, 0],
+            kc,
+            vc,
             ks[:, 0],  # [B, Hkv]
             vs[:, 0],
             state["k_cache"],
@@ -368,6 +402,7 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
             block_table,
             pos + 1,
             i,
+            *parity_args,
             scrub=use_scrub,
             codec=policy.codec,
             block_size=block_size,
@@ -376,17 +411,18 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
             read_inject_seed=ri_seed,
             sliding_window=cfg.sliding_window,
             collect_stats=collect_ecc_stats,
-            debug_no_parity_rmw=policy.debug_no_parity_rmw,
         )
-        (
-            attn,
-            state["k_cache"],
-            state["v_cache"],
-            state["k_scales"],
-            state["v_scales"],
-        ) = outs[:5]
+        attn = outs[0]
+        state["k_cache"], state["v_cache"] = outs[1], outs[2]
+        if stream_parity:
+            state["k_parity"], state["v_parity"] = outs[3], outs[4]
+            state["k_scales"], state["v_scales"] = outs[5], outs[6]
+            nxt = 7
+        else:
+            state["k_scales"], state["v_scales"] = outs[3], outs[4]
+            nxt = 5
         if collect_ecc_stats:
-            kstats = outs[5]  # [B, 2] int32
+            kstats = outs[nxt]  # [B, 2] int32
             state["ecc_corrected"] = (
                 state.get("ecc_corrected", jnp.zeros((B,), jnp.int32))
                 + kstats[:, 0]
@@ -396,6 +432,22 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
                 + kstats[:, 1]
             )
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
+    if k_par_cols:
+        # one batched parity scatter per K/V covering all layers' columns:
+        # parity[l, phys[b], h, :, slot[b]] = col[b, l, h, :]
+        bs = state["k_cache"].shape[4]
+        phys = jnp.take_along_axis(
+            block_table, (pos // bs)[:, None], axis=1
+        )[:, 0]
+        slots = pos % bs
+        kp = jnp.moveaxis(jnp.stack(k_par_cols), 0, 1)  # [B, L, H, pw]
+        vp = jnp.moveaxis(jnp.stack(v_par_cols), 0, 1)
+        state["k_parity"] = state["k_parity"].at[:, phys, :, :, slots].set(
+            kp.astype(state["k_parity"].dtype)
+        )
+        state["v_parity"] = state["v_parity"].at[:, phys, :, :, slots].set(
+            vp.astype(state["v_parity"].dtype)
+        )
     logits = _lm_head(params, x, cfg)[:, 0]
     state["context_len"] = pos + 1
     return logits, state

@@ -50,19 +50,23 @@ def cp_paged_attention_ecc(
     block_table_local,
     context_lens_local,
     layer_idx,
+    k_parity=None,
+    v_parity=None,
     *,
     axis_name: str = "context",
     **kernel_kwargs,
 ):
     """Sharded-KV decode attention; call INSIDE shard_map.
 
-    Each device passes its LOCAL cache shard, a block table indexing local
-    physical blocks, and the number of context tokens it owns. The query is
+    Each device passes its LOCAL cache shard (incl. the split-layout parity
+    shards for correcting reads), a block table indexing local physical
+    blocks, and the number of context tokens it owns. The query is
     replicated along `axis_name`. Any codec / interpolation / sliding
     window options forward to the fused kernel."""
     acc, m, l = paged_attention_ecc(
         query, k_cache, v_cache, k_scales, v_scales,
         block_table_local, context_lens_local, layer_idx,
+        k_parity, v_parity,
         return_softmax_state=True, **kernel_kwargs,
     )
     out = merge_softmax_shards(acc, m, l, axis_name)
@@ -89,29 +93,33 @@ def shard_context(context_lens, num_shards: int, block_size: int):
 
 
 def make_cp_attention(mesh: Mesh, axis_name: str = "context",
-                      **kernel_kwargs):
+                      with_parity: bool = False, **kernel_kwargs):
     """jit-compiled sharded-KV attention over `mesh[axis_name]`.
 
     Expects caches sharded on their block axis, block tables + context
     lens pre-split per shard (leading axis = shard), query replicated.
-    Returns fn(query, k, v, ks, vs, bt_sharded, ctx_sharded, layer) ->
-    [batch, Hq, head_dim]."""
+    Returns fn(query, k, v, ks, vs, bt_sharded, ctx_sharded, layer
+    [, k_parity, v_parity with with_parity=True - required for correcting
+    reads of the split-layout ECC caches]) -> [batch, Hq, head_dim]."""
     spec_cache = P(None, axis_name, None, None, None)
     spec_scale = P(None, axis_name, None, None)
     spec_shard = P(axis_name)
 
-    def _inner(q, k, v, ks, vs, bt, cl, layer):
+    def _inner(q, k, v, ks, vs, bt, cl, layer, *parity):
         # leading shard axis of bt/cl is consumed by shard_map
         return cp_paged_attention_ecc(
-            q, k, v, ks, vs, bt[0], cl[0], layer,
+            q, k, v, ks, vs, bt[0], cl[0], layer, *parity,
             axis_name=axis_name, **kernel_kwargs,
         )
 
+    in_specs = (P(), spec_cache, spec_cache, spec_scale, spec_scale,
+                spec_shard, spec_shard, P())
+    if with_parity:
+        in_specs = in_specs + (spec_cache, spec_cache)
     fn = jax.shard_map(
         _inner,
         mesh=mesh,
-        in_specs=(P(), spec_cache, spec_cache, spec_scale, spec_scale,
-                  spec_shard, spec_shard, P()),
+        in_specs=in_specs,
         out_specs=P(),
         check_vma=False,
     )

@@ -104,10 +104,13 @@ def param_specs(cfg: ModelConfig) -> dict:
 
 
 def cache_specs() -> dict:
-    """Paged ECC cache sharding: kv-heads on the model axis."""
+    """Paged ECC cache sharding: kv-heads on the model axis (the split
+    k_parity/v_parity arrays shard identically to the data arrays)."""
     return {
         "k_cache": P(None, None, "model", None, None),
         "v_cache": P(None, None, "model", None, None),
+        "k_parity": P(None, None, "model", None, None),
+        "v_parity": P(None, None, "model", None, None),
         "k_scales": P(None, None, "model", None),
         "v_scales": P(None, None, "model", None),
         "context_len": P(),

@@ -119,9 +119,12 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
               collect_stats=False, kv_heads_full=None, data_shards=1):
     """One transformer block on local shards; psums over 'model'.
 
-    Returns (x, state, kstats) - kstats is the fused kernel's LOCAL
-    [B, 2] (corrected, detected) counts when collect_stats, else None
-    (the caller sums layers and psums once over 'model')."""
+    Returns (x, state, kstats, par_cols) - kstats is the fused kernel's
+    LOCAL [B, 2] (corrected, detected) counts when collect_stats, else
+    None (the caller sums layers and psums once over 'model'); par_cols is
+    the new token's deferred (k, v) parity columns in scrub-extract mode
+    (the caller batches all layers' columns into one scatter - the split
+    cache layout, models/runtime.py), else None."""
     B, S, E = x.shape
     H, Hkv, D = cfgl.num_heads, cfgl.num_kv_heads, cfgl.head_dim
     if kv_heads_full is None:
@@ -184,6 +187,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0
 
     kstats = None
+    par_cols = None
     if fused_attend:
         ri_seed = (
             jax.random.bits(
@@ -192,12 +196,28 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             if read
             else 0
         )
+        # split cache layout: data-only kernel operands + deferred parity
+        # scatter in scrub-extract mode; parity arrays stream through the
+        # kernel on correcting reads (models/runtime.py)
+        has_parity = "k_parity" in state
+        extract = (
+            scrub_on and has_parity
+            and swar.scrub_extract_ok(policy.codec, D)
+        )
+        kn, vn = kcp[:, 0], vcp[:, 0]
+        parity_args = ()
+        if extract:
+            dw = state["k_cache"].shape[3]
+            par_cols = (kn[..., dw:], vn[..., dw:])
+            kn, vn = kn[..., :dw], vn[..., :dw]
+        elif has_parity:
+            parity_args = (state["k_parity"], state["v_parity"])
         # fused write+attend: in-place aliased cache update, decode-phase
         # attention on the LOCAL kv-head shard (no collective)
         outs = paged_attention_ecc_write_attend(
             q[:, 0],
-            kcp[:, 0],
-            vcp[:, 0],
+            kn,
+            vn,
             ks[:, 0],
             vs[:, 0],
             state["k_cache"],
@@ -207,6 +227,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             block_table,
             state["context_len"] + 1,
             layer_idx,
+            *parity_args,
             scrub=scrub_on,
             codec=policy.codec,
             block_size=block_size,
@@ -216,15 +237,17 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             sliding_window=cfgl.sliding_window,
             collect_stats=collect_stats,
         )
-        (
-            attn,
-            state["k_cache"],
-            state["v_cache"],
-            state["k_scales"],
-            state["v_scales"],
-        ) = outs[:5]
+        attn = outs[0]
+        state["k_cache"], state["v_cache"] = outs[1], outs[2]
+        if parity_args:
+            state["k_parity"], state["v_parity"] = outs[3], outs[4]
+            state["k_scales"], state["v_scales"] = outs[5], outs[6]
+            nxt = 7
+        else:
+            state["k_scales"], state["v_scales"] = outs[3], outs[4]
+            nxt = 5
         if collect_stats:
-            kstats = outs[5]  # local [B, 2] int32
+            kstats = outs[nxt]  # local [B, 2] int32
         attn = attn[:, None]
     else:
         if write:
@@ -268,7 +291,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
             h @ lp["c_fc"]["w"] + lp["c_fc"]["b"], approximate=True
         )
         x = x + jax.lax.psum(h @ lp["mlp_proj"]["w"], "model") + lp["mlp_proj"]["b"]
-        return x, state, kstats
+        return x, state, kstats, par_cols
     # row-sharded o_proj: partial sums -> psum over the model axis
     attn_out = jax.lax.psum(attn @ lp["o_proj"], "model")
     x = x + attn_out
@@ -276,7 +299,7 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
     h = rms_norm(x, lp["post_attn_norm"], cfgl.rms_norm_eps)
     h = jax.nn.silu(h @ lp["gate_proj"]) * (h @ lp["up_proj"])
     x = x + jax.lax.psum(h @ lp["down_proj"], "model")
-    return x, state, kstats
+    return x, state, kstats, par_cols
 
 
 def _embed_tp(params, ids, positions, cfg: ModelConfig):
@@ -357,9 +380,10 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         cfg.head_dim, cfg.rope_theta, cfg.rope_scaling_llama3
     )
 
-    local_cache_specs = {
-        k: cspecs[k] for k in ("k_cache", "v_cache", "k_scales", "v_scales")
-    }
+    cache_keys = ("k_cache", "v_cache", "k_scales", "v_scales")
+    if swar.parity_words(policy.codec, cfg.head_dim) > 0:
+        cache_keys += ("k_parity", "v_parity")
+    local_cache_specs = {k: cspecs[k] for k in cache_keys}
     state_specs = {**local_cache_specs, "context_len": P("data")}
 
     def _prefill_shard(params, ids, state, block_table, key, logit_pos,
@@ -369,7 +393,7 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
         x = _embed_tp(params, ids, positions, cfg)
         inv_freq = inv_freq_fn()
         for i, lp in enumerate(params["layers"]):
-            x, state, _ = _block_tp(
+            x, state, _, _ = _block_tp(
                 x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
                 write=True, fused_attend=False, block_size=block_size,
                 step_key=key, kv_heads_full=cfg.num_kv_heads,
@@ -427,8 +451,9 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
                 deltas, mshard * cfgl.num_kv_heads, cfgl.num_kv_heads, axis=4
             )
         corr = det = None
+        k_par_cols, v_par_cols = [], []
         for i, lp in enumerate(params["layers"]):
-            x, state, kstats = _block_tp(
+            x, state, kstats, par_cols = _block_tp(
                 x, lp, cfgl, policy, i, positions, inv_freq, state, block_table,
                 write=True, fused_attend=True, block_size=block_size,
                 step_key=kv_base,
@@ -438,9 +463,26 @@ def make_tp_functions(cfg: ModelConfig, policy: KVCachePolicy, mesh: Mesh,
                 kv_heads_full=cfg.num_kv_heads,
                 data_shards=dp,
             )
+            if par_cols is not None:
+                k_par_cols.append(par_cols[0])
+                v_par_cols.append(par_cols[1])
             if collect_ecc_stats:
                 corr = kstats[:, 0] if corr is None else corr + kstats[:, 0]
                 det = kstats[:, 1] if det is None else det + kstats[:, 1]
+        if k_par_cols:
+            # scrub-extract split layout: one batched parity scatter per
+            # K/V covering all layers' new-token columns (models/runtime.py)
+            bs = state["k_cache"].shape[4]
+            phys = jnp.take_along_axis(
+                block_table, (pos // bs)[:, None], axis=1
+            )[:, 0]
+            slots = pos % bs
+            kp = jnp.moveaxis(jnp.stack(k_par_cols), 0, 1)  # [B, L, H, pw]
+            vp = jnp.moveaxis(jnp.stack(v_par_cols), 0, 1)
+            state["k_parity"] = state["k_parity"].at[
+                :, phys, :, :, slots].set(kp.astype(state["k_parity"].dtype))
+            state["v_parity"] = state["v_parity"].at[
+                :, phys, :, :, slots].set(vp.astype(state["v_parity"].dtype))
         logits = _lm_head_tp(params, x, cfgl)[:, 0]
         state["context_len"] = pos + 1
         if collect_ecc_stats:

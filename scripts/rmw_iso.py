@@ -1,28 +1,23 @@
 """Decode-loop-level isolation of the protected-write overhead.
 
-bench.py (round 4, post scrub-fold) still shows golay ~0.78x / h84 ~0.83x
-of the 4.35 ms unprotected floor; the kernel microbench (wa_bench) cannot
-resolve the gap reliably. This measures the FULL scanned decode_loop with
-the parity-RMW debug knob toggled per arm, all arms interleaved round-robin:
+Round-5 split data/parity layout: scrub-mode protected arms issue the SAME
+contiguous page DMAs as int4 (data arrays are byte-identical) and have no
+parity RMW, so the expected remaining gap vs the unprotected floor is ONLY
+the fixed per-step encode-chain term (~0.23-0.36 ms in round 4) plus the
+deferred parity-column scatter (2 batched jnp scatters/step, ~100 KB).
 
-  int4           the unprotected floor
-  h84 / golay    production scrub path (parity RMW on)
-  *-normw        identical except the kernel skips the parity-row RMW
-                 (staging DMAs, per-head merges, extra write-backs, the
-                 extra pl.when region) - stale parity, timing only
+Run at two context points to decompose fixed vs per-page terms:
 
-delta(codec) - delta(codec-normw) = the parity RMW's true step cost;
-delta(codec-normw) vs int4 = everything else (encode chain, mask deltas,
-kernel decode/extract differences).
+    python scripts/rmw_iso.py        # ctx 1024 (the bench point)
+    python scripts/rmw_iso.py 64     # weights-only regime: fixed term
+
+delta(ctx64)  = fixed per-step protected overhead
+delta(ctx1024) - delta(ctx64) = any residual per-attended-page premium
+(target after the split: ~0 - the round-4 strided-DMA and parity-RMW terms
+are gone by construction).
 """
-import dataclasses
 import sys
 import time
-
-# usage: rmw_iso.py [prompt_len]  (default 1024; 64 isolates the FIXED
-# per-layer protected overhead - encode chain, operand materialization,
-# pl.when regions - from the per-page stride/DMA costs that scale with
-# context)
 
 import numpy as np
 
@@ -51,15 +46,11 @@ def main():
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (BATCH, PROMPT)))
 
     class Arm:
-        def __init__(self, name, mode, no_rmw=False):
+        def __init__(self, name, mode):
             self.name = name
             self.policy = policy_for_mode(mode, ber=1e-2, seed=42)
-            if no_rmw:
-                self.policy = dataclasses.replace(
-                    self.policy, debug_no_parity_rmw=True
-                )
             # rounds RESET context_len instead of advancing it, so the
-            # capacity (and HBM footprint of 5 coexisting arms) stays
+            # capacity (and HBM footprint of the coexisting arms) stays
             # constant regardless of ROUNDS
             self.state, self.block_table, _ = init_generation_state(
                 cfg, self.policy, BATCH, PROMPT + 2 * DECODE + 8,
@@ -96,9 +87,8 @@ def main():
     arms = [
         Arm("int4", "int4-write-inject"),
         Arm("h84", "int4-hamming84"),
-        Arm("h84-normw", "int4-hamming84", no_rmw=True),
+        Arm("h74", "int4-hamming"),
         Arm("golay", "int12-golay"),
-        Arm("golay-normw", "int12-golay", no_rmw=True),
     ]
     for a in arms:
         a.warmup()
@@ -111,7 +101,8 @@ def main():
         t = np.asarray(sorted(a.times)) / DECODE * 1e3
         print(f"{a.name:12s} min {ms:6.3f} p25 {t[len(t)//4]:6.3f} "
               f"med {t[len(t)//2]:6.3f} p75 {t[3*len(t)//4]:6.3f} ms/step "
-              f"({base/a.best:.3f}x of int4)", flush=True)
+              f"({base/a.best:.3f}x of int4, delta "
+              f"{(a.best-base)/DECODE*1e3:+.3f} ms)", flush=True)
 
 
 if __name__ == "__main__":

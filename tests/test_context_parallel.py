@@ -63,10 +63,14 @@ def _build(rng, codec, context_lens, num_shards):
                 phys_global = s * blocks_per_shard + phys_local
                 bt_full[b, p] = phys_full
                 bt_shard[s, b, lp] = phys_local
-                full[f"{name}_cache"][0, phys_full, :, :, slot] = words[t]
+                dw = full[f"{name}_cache"].shape[3]
+                full[f"{name}_cache"][0, phys_full, :, :, slot] = words[t][..., :dw]
                 full[f"{name}_scales"][0, phys_full, :, slot] = scale[t]
-                shardc[f"{name}_cache"][0, phys_global, :, :, slot] = words[t]
+                shardc[f"{name}_cache"][0, phys_global, :, :, slot] = words[t][..., :dw]
                 shardc[f"{name}_scales"][0, phys_global, :, slot] = scale[t]
+                if f"{name}_parity" in full:
+                    full[f"{name}_parity"][0, phys_full, :, :, slot] = words[t][..., dw:]
+                    shardc[f"{name}_parity"][0, phys_global, :, :, slot] = words[t][..., dw:]
     return full, bt_full, shardc, bt_shard, local
 
 
@@ -84,10 +88,13 @@ def _run_both(rng, codec, context_lens, mesh4):
     q = jnp.asarray(
         rng.normal(size=(len(context_lens), HQ, D)).astype(np.float32)
     )
+    has_parity = "k_parity" in full
     ref = paged_attention_ecc(
         q, *(jnp.asarray(full[k]) for k in
              ("k_cache", "v_cache", "k_scales", "v_scales")),
         jnp.asarray(bt_full), jnp.asarray(context_lens, jnp.int32), 0,
+        *((jnp.asarray(full["k_parity"]), jnp.asarray(full["v_parity"]))
+          if has_parity else ()),
         codec=codec, block_size=BS, precision="highest",
     )
     placed = {
@@ -97,12 +104,14 @@ def _run_both(rng, codec, context_lens, mesh4):
         for k, v in shardc.items()
     }
     cp_fn = make_cp_attention(
-        mesh4, codec=codec, block_size=BS, precision="highest"
+        mesh4, codec=codec, block_size=BS, precision="highest",
+        with_parity=has_parity,
     )
     out = cp_fn(
         q, placed["k_cache"], placed["v_cache"], placed["k_scales"],
         placed["v_scales"], jnp.asarray(bt_shard),
         jnp.asarray(local, jnp.int32), jnp.asarray(0, jnp.int32),
+        *((placed["k_parity"], placed["v_parity"]) if has_parity else ()),
     )
     return out, ref, local
 

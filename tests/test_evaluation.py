@@ -11,6 +11,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# slow tier: excluded from the fast correctness gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 from qkv_ecc_tpu.evaluation import constants
 from qkv_ecc_tpu.evaluation.data import ByteTokenizer, pad_to_bucket, synthetic_corpus, tokenize
 from qkv_ecc_tpu.evaluation.sweep import (

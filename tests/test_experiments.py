@@ -8,6 +8,10 @@ artifact set; deeper statistical behavior is covered by tests/test_evaluation.py
 import numpy as np
 import pytest
 
+# slow tier: excluded from the fast correctness gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 
 class TestLatencyExperiment:
     def test_grid_runs_and_reports(self):

@@ -6,6 +6,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# slow tier: excluded from the fast correctness gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
 from qkv_ecc_tpu.kernels import common as C
 from qkv_ecc_tpu.kernels import golay_sliced as gs

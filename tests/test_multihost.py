@@ -17,6 +17,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# slow tier: excluded from the fast correctness gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 REPO = __file__.rsplit("/tests/", 1)[0]
 
 

@@ -67,44 +67,13 @@ def test_scrub_is_bit_identical(tiny, mode, ber):
         np.testing.assert_array_equal(a, b, err_msg=f"step {step}")
 
 
-@pytest.mark.parametrize("mode", ["int12-golay", "int4-hamming84"])
-def test_debug_no_parity_rmw_logits_unchanged(tiny, mode):
-    """The parity-RMW measurement knob (scripts/rmw_iso.py) must not move
-    any decoded value: scrub reads never touch parity, so skipping the
-    parity-row read-modify-write changes ONLY the stored parity suffix
-    (which goes stale). Logits bit-equal; cache parity allowed to differ."""
-    params, cfg = tiny
-
-    def run(knob):
-        policy = dataclasses.replace(
-            policy_for_mode(mode, ber=2e-2, seed=42),
-            debug_no_parity_rmw=knob,
-        )
-        rng = np.random.default_rng(0)
-        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 21)))
-        state, bt, _ = init_generation_state(cfg, policy, 2, 27, block_size=16)
-        key = jax.random.key(7)
-        logits, state = prefill(params, ids, state, bt, cfg, policy, key)
-        outs = [np.asarray(logits)]
-        for s in range(3):
-            tok = jnp.argmax(logits, axis=-1)
-            logits, state = decode_step(
-                params, tok, state, bt, cfg, policy,
-                jax.random.fold_in(key, s), block_size=16,
-            )
-            outs.append(np.asarray(logits))
-        return outs
-
-    ref = run(False)
-    got = run(True)
-    for step, (a, b) in enumerate(zip(ref, got)):
-        np.testing.assert_array_equal(a, b, err_msg=f"step {step}")
-
-
 def test_scrub_cleans_cache(tiny):
     """With write-path scrubbing, EVERY stored codeword in the written
     context is a valid codeword (corrections applied before storage), so
-    reads can extract data bits without a correction network."""
+    reads can extract data bits without a correction network. Covers the
+    split layout's DEFERRED parity scatter: decode-step tokens' parity
+    columns land via the end-of-step batched jnp update (models/runtime.py)
+    and must recombine with the kernel-written data into valid codewords."""
     from qkv_ecc_tpu.codecs.algebra import GOLAY_B_ROW_MASKS
     from qkv_ecc_tpu.kernels import swar
     from qkv_ecc_tpu.kernels.common import golay_decode_i32
@@ -112,7 +81,10 @@ def test_scrub_cleans_cache(tiny):
     params, cfg = tiny
     _, state = _run(params, cfg, "int12-golay", 1e-2, scrub=True, steps=2)
     bm = tuple(int(m) for m in GOLAY_B_ROW_MASKS)
-    kc = np.asarray(state["k_cache"])  # [L, blocks, H, W, bs]
+    # rebuild full rows from the split data + parity arrays
+    kc = np.asarray(
+        swar.join_rows("golay", state["k_cache"], state["k_parity"], axis=3)
+    )  # [L, blocks, H, W, bs]
     bs = kc.shape[-1]
     # sequence 0 owns blocks [0, pages); ALL its written tokens are clean
     n_ok = int(np.asarray(state["context_len"])[0])
@@ -141,19 +113,22 @@ def test_readonly_kernel_scrub_extract_matches_decode(codec):
         context_len=48, block_size=16, codec=codec, seed=5,
     )
 
-    def scrubbed(packed):
-        cw = swar.unpack_codewords(codec, packed, cfg.head_dim, axis=3)
-        return swar.pack_codewords(
+    def scrubbed(packed, parity):
+        full = swar.join_rows(codec, packed, parity, axis=3)
+        cw = swar.unpack_codewords(codec, full, cfg.head_dim, axis=3)
+        out = swar.pack_codewords(
             codec, swar.scrub_codewords(codec, cw), cfg.head_dim, axis=3
         ).astype(packed.dtype)
+        return swar.split_rows(codec, out, cfg.head_dim, axis=3)
 
-    kc, vc = scrubbed(cache["k_cache"]), scrubbed(cache["v_cache"])
+    kc, kp = scrubbed(cache["k_cache"], cache["k_parity"])
+    vc, vp = scrubbed(cache["v_cache"], cache["v_parity"])
 
     def attn(scrub):
         return np.asarray(
             paged_attention_ecc(
                 q, kc, vc, cache["k_scales"], cache["v_scales"], bt, ctx, 0,
-                codec=codec, block_size=16, scrub=scrub,
+                kp, vp, codec=codec, block_size=16, scrub=scrub,
             )
         )
 

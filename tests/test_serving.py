@@ -8,6 +8,10 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+# slow tier: excluded from the fast correctness gate (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
+
 from qkv_ecc_tpu.models.config import TINY_LLAMA
 from qkv_ecc_tpu.models.kv_policy import policy_for_mode
 from qkv_ecc_tpu.models.registry import init_params

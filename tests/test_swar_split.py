@@ -83,12 +83,10 @@ def test_h84_rebuild_cw_words(rng):
 @pytest.mark.parametrize("head_dim", [60, 96, 128])
 @pytest.mark.parametrize("codec", ["hamming74", "hamming84", "golay"])
 def test_scrub_read_kernel_any_head_dim(codec, head_dim, rng):
-    """Scrub-mode reads equal the correcting reference on a scrubbed cache.
-
-    head_dim=128 streams the aligned 16-word data prefix; head_dim=96 has a
-    12-word prefix (not a multiple of 8 sublanes - the DMA would fault on
-    hardware), exercising the full-row-streaming fallback whose extract
-    path slices the prefix in VMEM."""
+    """Scrub-mode reads equal the correcting reference on a scrubbed cache
+    across data-array widths: 128 (16-word pages), 96 (12-word), and 60
+    (golay's 7-word prefix that does NOT cover every value - extract is
+    unavailable, so scrub reads run the correcting path over data+parity)."""
     cfg = ECCCacheConfig(
         num_blocks=8, block_size=16, num_layers=1, num_kv_heads=2,
         head_dim=head_dim, codec=codec,
@@ -96,23 +94,34 @@ def test_scrub_read_kernel_any_head_dim(codec, head_dim, rng):
     cache, block_table, _ = build_cache(
         rng, cfg, batch=2, context_lens=[23, 9], ber=2e-2, seed=5
     )
-    # scrub the injected errors (write-path semantics)
-    for name in ("k_cache", "v_cache"):
-        cw = swar.unpack_codewords(codec, cache[name], head_dim, axis=3)
-        cache[name] = jnp.asarray(swar.pack_codewords(
+    # scrub the injected errors (write-path semantics); split layout:
+    # rejoin data + parity, scrub, split back
+    for name in ("k", "v"):
+        full = swar.join_rows(
+            codec, cache[f"{name}_cache"], cache[f"{name}_parity"], axis=3
+        )
+        cw = swar.unpack_codewords(codec, full, head_dim, axis=3)
+        scrubbed = swar.pack_codewords(
             codec, swar.scrub_codewords(codec, cw), head_dim, axis=3
-        ))
+        )
+        d, p = swar.split_rows(codec, scrubbed, head_dim, axis=3)
+        cache[f"{name}_cache"] = jnp.asarray(d)
+        cache[f"{name}_parity"] = jnp.asarray(p)
     q = jnp.asarray(rng.normal(size=(2, 4, head_dim)).astype(np.float32))
     ctx = jnp.asarray([23, 9], jnp.int32)
     kw = dict(codec=codec, block_size=16)
+    parity = (cache["k_parity"], cache["v_parity"])
+    # extract-ok shapes ignore the parity operands; golay head dims whose
+    # data prefix does not cover every value (60) require them even under
+    # scrub (correcting read path on a scrubbed cache)
     out_scrub = paged_attention_ecc(
         q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
-        cache["v_scales"], block_table, ctx, 0,
+        cache["v_scales"], block_table, ctx, 0, *parity,
         precision="highest", scrub=True, **kw
     )
     out_ref = paged_attention_ecc_reference(
         q, cache["k_cache"], cache["v_cache"], cache["k_scales"],
-        cache["v_scales"], block_table, ctx, 0, **kw
+        cache["v_scales"], block_table, ctx, 0, *parity, **kw
     )
     assert float(jnp.max(jnp.abs(out_scrub - out_ref))) < 1e-4
 
