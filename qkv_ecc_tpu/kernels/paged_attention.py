@@ -784,12 +784,16 @@ def _read_threshold(read_inject_ber: float, codec: str):
 def _resolve_parity(codec, head_dim, scrub, k_parity, v_parity):
     """Decide the read-path shape: (extract, has_parity, parity operands).
 
-    extract: the scrub extract-only fast path (data arrays alone).
+    extract: the scrub extract-only fast path (data arrays alone). int4
+    takes it too when scrub is set - extraction IS its decode, and the
+    extract branch's page-outer/head-inner loop order measures ~0.4
+    ms/step faster at bench shapes than the general decode loop's
+    head-outer order (v5e, round 5: 4.22 vs 4.66 ms/step).
     has_parity: the kernel streams the parity arrays (correcting reads).
     With scrub + extract_ok the parity operands are IGNORED (reads never
     touch parity); otherwise a parity-bearing codec REQUIRES them."""
     if codec not in ECC_CODECS or swar.parity_words(codec, head_dim) == 0:
-        return False, False, None, None
+        return scrub and codec == "int4", False, None, None
     extract = scrub and swar.scrub_extract_ok(codec, head_dim)
     if extract:
         return True, False, None, None

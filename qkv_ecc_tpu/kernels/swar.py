@@ -639,6 +639,38 @@ def golay_encode_wide(data12):
     return data12 | (par.sum(0) << 12)
 
 
+def golay_parity_xor(d12):
+    """12 parity bits of 12-bit data words via a fixed 36-op XOR chain:
+    p = d12 . B over GF(2), computed as XOR over set data bits j of B's
+    j-th COLUMN (= row: B is symmetric). No [12, ...] broadcast tensor
+    and no reduction - the whole thing is one fusable elementwise chain,
+    which matters on the decode step's tiny per-layer [B, 1, H, C4]
+    tensors where golay_encode_wide's candidate-axis form paid a 12x
+    intermediate + reduce per (layer, K/V) (round 5, measured). Bit-
+    identical to (golay_encode_wide(d12) >> 12) & 0xFFF."""
+    p = jnp.zeros_like(d12)
+    for j in range(12):
+        p = p ^ (-((d12 >> j) & 1) & _B_MASKS[j])
+    return p
+
+
+def golay_pack_rows_from_nibbles(qn, head_dim: int):
+    """Padded data nibbles [..., 3*C4] (thirds order, values & 0xF) ->
+    packed storage rows [..., W], data-first split layout. Bit-identical to
+    golay_split_pack(golay_encode_wide(golay_pack_thirds(qn)), head_dim)
+    but skips the pack->unpack roundtrip and the candidate-axis parity:
+    the decode step's per-layer write chain calls this directly
+    (models/kv_policy.py:encode_pack_kv_scrubbed)."""
+    qn = jnp.asarray(qn, jnp.int32) & 0xF
+    d12 = golay_pack_thirds(qn)
+    p12 = golay_parity_xor(d12)
+    rd = golay_data_nibbles(head_dim)
+    d = pack_int4(qn[..., :rd])
+    ptail = pack_int4(jnp.concatenate([p12 & 0xF, qn[..., rd:]], axis=-1))
+    ph = pack_bytes4((p12 >> 4) & 0xFF)
+    return jnp.concatenate([d, ptail, ph], axis=-1)
+
+
 def golay_decode_wide(cw, *, zero_uncorrectable):
     """Arithmetic IMLD Golay decode, candidate-axis-vectorized.
 
@@ -705,12 +737,19 @@ def scrub_fold_mask(codec: str, mask):
     encode -> pack for every codec: identical shape to the unprotected
     int4 chain, no scrub kernel launch, no per-layer IMLD.
 
-    Returns the DATA-domain delta:
+    Returns the DATA-domain delta in the NIBBLE domain for every codec
+    (uint8-rangeable, one element per protected value):
       int4 / hamming74 / hamming84: nibble delta (<= 4 bits; mask shape)
-      golay: delta12 | (uncorrectable << 12) - apply as
-             d12' = where(bit12, 0, d12 ^ delta12) (uncorrectable scrubs
-             to the all-zero codeword; encode(0) == 0 by linearity)
-    """
+      golay: per-VALUE delta nibble | (uncorrectable << 4) over the padded
+             value array [..., 3C] (thirds order, golay_unpack_thirds of
+             the [..., C] mask domain) - apply as
+             q' = where(bit4, 0, q ^ (delta & 0xF)). Valid because the
+             uncorrectable case scrubs to the all-zero codeword
+             (encode(0) == 0 by linearity) and zeroing all three data
+             nibbles of a codeword zeroes its d12. Keeping the per-layer
+             consumption h84-SHAPED (uint8 elementwise over padded
+             nibbles) moves golay's unpack_thirds into the bulk hoist and
+             halves the hoisted buffer (uint8 vs uint16)."""
     from . import common as C
 
     mask = jnp.asarray(mask, jnp.int32)
@@ -722,7 +761,12 @@ def scrub_fold_mask(codec: str, mask):
         return C.hamming84_correct_data_i32(mask)
     if codec == "golay":
         d, cnt = golay_decode_wide(mask, zero_uncorrectable=False)
-        return d | ((cnt == 4).astype(jnp.int32) << 12)
+        dn = golay_unpack_thirds(d)  # [..., 3C] nibble deltas, thirds order
+        # value v lives in codeword v % C (thirds are stacked contiguously:
+        # [0,C) third 0, [C,2C) third 1, [2C,3C) third 2), so the per-
+        # codeword uncorrectable flag TILES three times along values
+        un = jnp.concatenate([(cnt == 4).astype(jnp.int32)] * 3, axis=-1)
+        return dn | (un << 4)
     raise ValueError(codec)
 
 

@@ -206,19 +206,32 @@ def encode_kv_scrubbed(x, policy: KVCachePolicy, key, mask=None, folded=None):
     q, scale = _quantize(x)
     head_dim = x.shape[-1]
     if codec == "golay":
-        d12 = swar.golay_data12(q, head_dim)
         if inject:
+            # nibble-domain folded delta (swar.scrub_fold_mask): the
+            # per-layer consumption is h84-shaped uint8 elementwise work;
+            # unpack_thirds/IMLD live in the bulk hoist
             if folded is None:
                 if mask is None:
                     mask = flip_mask_for(
-                        key, d12.shape, policy.ber, N_BITS[codec]
+                        key,
+                        q.shape[:-1]
+                        + (swar.padded_values("golay", head_dim) // 3,),
+                        policy.ber, N_BITS[codec],
                     )
                 folded = swar.scrub_fold_mask(codec, mask)
             folded = folded.astype(jnp.int32)
-            d12 = jnp.where(
-                (folded >> 12) & 1 != 0, 0, d12 ^ (folded & 0xFFF)
+            pv = swar.padded_values("golay", head_dim)
+            if pv - head_dim:
+                q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pv - head_dim)])
+            q = jnp.where(
+                (folded >> 4) & 1 != 0, 0, q.astype(jnp.int32) ^ (folded & 0xF)
             )
-        return swar.golay_encode_wide(d12), scale
+            return swar.golay_encode_wide(
+                swar.golay_pack_thirds(q & 0xF)
+            ), scale
+        return swar.golay_encode_wide(
+            swar.golay_data12(q, head_dim)
+        ), scale
     pv = swar.padded_values(codec, head_dim)
     if pv - head_dim:
         q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pv - head_dim)])
@@ -250,6 +263,45 @@ def encode_kv_pair_scrubbed(k, v, policy: KVCachePolicy, k_key, v_key,
     )
 
 
+def encode_pack_kv_scrubbed(x, policy: KVCachePolicy, key, mask=None,
+                            folded=None):
+    """encode_kv_scrubbed + pack_kv in ONE chain - the decode step's write
+    path. For golay the packed rows are built DIRECTLY from the folded
+    nibbles (swar.golay_pack_rows_from_nibbles): the 36-op XOR-chain
+    parity replaces golay_encode_wide's [12, ...] candidate-axis
+    broadcast+reduce and the pack->unpack roundtrip of golay_split_pack
+    disappears - the per-(layer, K/V) chain gets golay within reach of
+    hamming84's (round-5 measured). Bit-identical stored rows to
+    pack_kv(encode_kv_scrubbed(...)) (tests/test_codecs.py).
+
+    Returns (packed_rows, scales)."""
+    codec = policy.codec
+    head_dim = x.shape[-1]
+    if codec == "golay":
+        inject = (
+            policy.inject_errors and policy.ber > 0
+            and policy.inject_at == "write"
+        )
+        q, scale = _quantize(jnp.asarray(x, jnp.float32))
+        pv = swar.padded_values("golay", head_dim)
+        if pv - head_dim:
+            q = jnp.pad(q, [(0, 0)] * (q.ndim - 1) + [(0, pv - head_dim)])
+        q = q.astype(jnp.int32)
+        if inject:
+            if folded is None:
+                if mask is None:
+                    mask = flip_mask_for(
+                        key, q.shape[:-1] + (pv // 3,), policy.ber,
+                        N_BITS[codec],
+                    )
+                folded = swar.scrub_fold_mask(codec, mask)
+            folded = folded.astype(jnp.int32)
+            q = jnp.where((folded >> 4) & 1 != 0, 0, q ^ (folded & 0xF))
+        return swar.golay_pack_rows_from_nibbles(q, head_dim), scale
+    cw, scale = encode_kv_scrubbed(x, policy, key, mask=mask, folded=folded)
+    return pack_kv(cw, policy, head_dim), scale
+
+
 def hoisted_write_deltas(policy: KVCachePolicy, layer_keys, enc_shape):
     """EVERY layer's (K, V) write-path delta in ONE vmapped chain: draw the
     per-layer injection masks (bit-identically to the per-layer
@@ -261,9 +313,12 @@ def hoisted_write_deltas(policy: KVCachePolicy, layer_keys, enc_shape):
 
     layer_keys: [L, 2] stacked typed keys ((k_key, v_key) per layer, the
     models/runtime.py:_layer_kv_key chain). enc_shape: the logical mask
-    shape - d12 shape for golay, padded nibble shape otherwise.
-    Returns [L, 2] + enc_shape: uint8 (nibble deltas) or uint16 for golay
-    (delta12 | uncorrectable << 12)."""
+    shape the threefry draw enumerates - the d12 codeword shape [..., C]
+    for golay (the RNG stream is pinned to this shape), padded nibble
+    shape otherwise.
+    Returns uint8 [L, 2] + fold shape, where the fold shape is enc_shape
+    except golay's last axis expands C -> 3C (per-value nibble deltas,
+    swar.scrub_fold_mask)."""
     L = layer_keys.shape[0]
     flat = layer_keys.reshape(2 * L)
     n_bits = N_BITS[policy.codec]
@@ -272,8 +327,9 @@ def hoisted_write_deltas(policy: KVCachePolicy, layer_keys, enc_shape):
         m = flip_mask_for(kk, enc_shape, policy.ber, n_bits)
         return swar.scrub_fold_mask(policy.codec, m)
 
-    d = jax.vmap(one)(flat).reshape((L, 2) + tuple(enc_shape))
-    return d.astype(jnp.uint16 if policy.codec == "golay" else jnp.uint8)
+    d = jax.vmap(one)(flat)
+    d = d.reshape((L, 2) + d.shape[1:])
+    return d.astype(jnp.uint8)
 
 
 def pack_kv(enc, policy: KVCachePolicy, head_dim: int):

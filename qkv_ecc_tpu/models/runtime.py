@@ -38,6 +38,7 @@ from .kv_policy import (
     encode_kv,
     encode_kv_pair_scrubbed,
     encode_kv_scrubbed,
+    encode_pack_kv_scrubbed,
     hoisted_write_deltas,
     pack_kv,
 )
@@ -50,11 +51,16 @@ def _use_scrub(policy: KVCachePolicy) -> bool:
     """Write-path ECC scrubbing applies when corrections are deterministic
     per stored codeword: persistent (write-time) fault injection, no
     interpolation (it needs the per-read doubles mask). Decoded values are
-    bit-identical either way (tests/test_scrub.py)."""
+    bit-identical either way (tests/test_scrub.py). int4 rides the same
+    path (scrubbing an uncoded nibble is a no-op, and the kernel's extract
+    branch is the faster loop shape - paged_attention.py _resolve_parity);
+    the read-inject int4 arm cannot (fresh raw-bit flips per attend need
+    the general decode path)."""
     return (
         policy.scrub
-        and policy.codec in ("hamming74", "hamming84", "golay")
+        and policy.codec in ("int4", "hamming74", "hamming84", "golay")
         and not policy.use_interpolation
+        and policy.inject_at == "write"
     )
 
 
@@ -360,20 +366,27 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
         q, k, v = _proj_qkv(x, lp, cfg, positions, inv_freq)
         kk, vk = _layer_kv_key(policy, i, jax.random.fold_in(step_key, 1000000))
         if use_scrub:
-            # scrub-folded write: quantize -> xor delta -> encode -> pack,
-            # the same per-layer chain shape as unprotected int4
-            (kc, ks), (vc, vs) = encode_kv_pair_scrubbed(
-                k, v, policy, kk, vk,
-                k_folded=hoisted_masks[i, 0] if folded_hoist else None,
-                v_folded=hoisted_masks[i, 1] if folded_hoist else None,
+            # scrub-folded write in ONE fused chain per tensor: quantize ->
+            # xor delta -> encode+pack (golay packs rows straight from the
+            # folded nibbles via the XOR-chain parity; kv_policy
+            # .encode_pack_kv_scrubbed) - same chain shape as int4
+            kc, ks = encode_pack_kv_scrubbed(
+                k, policy, kk,
+                folded=hoisted_masks[i, 0] if folded_hoist else None,
+            )
+            vc, vs = encode_pack_kv_scrubbed(
+                v, policy, vk,
+                folded=hoisted_masks[i, 1] if folded_hoist else None,
             )
         else:
             lk_mask = hoisted_masks[i, 0] if logical_hoist else None
             lv_mask = hoisted_masks[i, 1] if logical_hoist else None
             kc, ks, _ = encode_kv(k, policy, kk, mask=lk_mask)
             vc, vs, _ = encode_kv(v, policy, vk, mask=lv_mask)
-        kc = pack_kv(kc, policy, cfg.head_dim)[:, 0]  # [B, Hkv, W] full rows
-        vc = pack_kv(vc, policy, cfg.head_dim)[:, 0]
+            kc = pack_kv(kc, policy, cfg.head_dim)
+            vc = pack_kv(vc, policy, cfg.head_dim)
+        kc = kc[:, 0]  # [B, Hkv, W] full rows
+        vc = vc[:, 0]
         if ks is None:  # float codecs carry no dequant scales
             ks = vs = jnp.ones((B, 1) + kc.shape[1:2], jnp.float32)
         if extract:

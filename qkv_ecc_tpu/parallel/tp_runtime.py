@@ -43,7 +43,7 @@ from ..models.kv_policy import (
     KVCachePolicy,
     decode_kv,
     encode_kv,
-    encode_kv_pair_scrubbed,
+    encode_pack_kv_scrubbed,
     hoisted_write_deltas,
     pack_kv,
 )
@@ -164,24 +164,23 @@ def _block_tp(x, lp, cfgl: ModelConfig, policy, layer_idx, positions, inv_freq,
         )
     scrub_on = use_scrub(policy) and not collect_stats
     if fused_attend and scrub_on:
-        # decode hot path: scrub-folded write (quantize -> xor delta ->
-        # encode -> pack; kv_policy.encode_kv_scrubbed). k_folded/v_folded
-        # carry the hoisted pre-folded deltas when the caller drew them.
-        (kc_st, ks), (vc_st, vs) = encode_kv_pair_scrubbed(
-            k, v, policy, kk, vk, k_mask=k_mask, v_mask=v_mask,
-            k_folded=k_folded, v_folded=v_folded,
-        )
+        # decode hot path: scrub-folded write in one fused chain
+        # (quantize -> xor delta -> encode+pack;
+        # kv_policy.encode_pack_kv_scrubbed). k_folded/v_folded carry the
+        # hoisted pre-folded deltas when the caller drew them.
+        kcp, ks = encode_pack_kv_scrubbed(
+            k, policy, kk, mask=k_mask, folded=k_folded)
+        vcp, vs = encode_pack_kv_scrubbed(
+            v, policy, vk, mask=v_mask, folded=v_folded)
     else:
         kc, ks, _ = encode_kv(k, policy, kk, mask=k_mask)
         vc, vs, _ = encode_kv(v, policy, vk, mask=v_mask)
         if use_scrub(policy) and not fused_attend:
             # prefill scrubs through the jnp chain (runs once per sequence)
-            kc_st = swar.scrub_codewords(policy.codec, kc)
-            vc_st = swar.scrub_codewords(policy.codec, vc)
-        else:
-            kc_st, vc_st = kc, vc
-    kcp = pack_kv(kc_st, policy, D)
-    vcp = pack_kv(vc_st, policy, D)
+            kc = swar.scrub_codewords(policy.codec, kc)
+            vc = swar.scrub_codewords(policy.codec, vc)
+        kcp = pack_kv(kc, policy, D)
+        vcp = pack_kv(vc, policy, D)
     if ks is None:  # float codecs (fp16/fp8) carry no dequant scales
         ks = vs = jnp.ones(kcp.shape[:3], jnp.float32)
     read = policy.inject_at == "read" and policy.inject_errors and policy.ber > 0

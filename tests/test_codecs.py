@@ -386,19 +386,23 @@ def test_scrub_fold_mask_algebra(rng):
         qp = jnp.pad(q, [(0, 0)] * 3 + [(0, enc.shape[-1] - 96)])
         got = swar.encode_codewords(codec, (qp ^ delta) & 0xF, enc.shape[-1])
         assert jnp.array_equal(ref, got), codec
-    # golay: 24-bit masks, uncorrectable scrubs to the all-zero codeword
+    # golay: 24-bit masks, uncorrectable scrubs to the all-zero codeword.
+    # The fold is NIBBLE-domain (per-value delta | uncorrectable<<4,
+    # thirds order): apply to the unpacked values and re-pack.
     d12 = jnp.asarray(rng.integers(0, 4096, (4, 1, 8, 44)), jnp.int32)
     bits = rng.random((4, 1, 8, 44, 24)) < 0.12
     mask = jnp.asarray((bits << np.arange(24)).sum(-1), jnp.int32)
     ref = swar.scrub_codewords("golay", swar.golay_encode_wide(d12) ^ mask)
-    delta = swar.scrub_fold_mask("golay", mask)
-    d = jnp.where((delta >> 12) & 1 != 0, 0, d12 ^ (delta & 0xFFF))
-    assert jnp.array_equal(ref, swar.golay_encode_wide(d))
-    # a zero mask folds to a zero delta (clean writes store the encode)
+    delta = swar.scrub_fold_mask("golay", mask)  # [..., 132] nibble domain
+    qn = swar.golay_unpack_thirds(d12)
+    qn = jnp.where((delta >> 4) & 1 != 0, 0, qn ^ (delta & 0xF))
     assert jnp.array_equal(
-        swar.scrub_fold_mask("golay", jnp.zeros_like(mask)),
-        jnp.zeros_like(mask),
+        ref, swar.golay_encode_wide(swar.golay_pack_thirds(qn))
     )
+    # a zero mask folds to a zero delta (clean writes store the encode)
+    zero_fold = swar.scrub_fold_mask("golay", jnp.zeros_like(mask))
+    assert zero_fold.shape == mask.shape[:-1] + (3 * mask.shape[-1],)
+    assert not jnp.any(zero_fold)
 
 
 def test_hoisted_write_deltas_bit_identical(rng):
