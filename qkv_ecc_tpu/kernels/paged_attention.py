@@ -141,9 +141,16 @@ def _decode_kt_tile(codec, raw, head_dim, op_t, *, minus8):
         )
         return fin(pltpu.bitcast(dec, jnp.int8))
     if codec == "hamming74":
-        G = x.shape[0] // 7
-        planes, _ = swar.h74_sliced_correct_planes(x, G)
-        return fin(swar.h74_sliced_unpack_values(planes, G))
+        dw = swar.data_words(codec, head_dim)
+        G = (x.shape[0] - dw) // 3
+        lo, hi = swar.int4_split(x[:dw])
+        d = _i32(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
+        p0, p1, p2 = (
+            swar.h74_plane_bits(x[dw + p * G : dw + (p + 1) * G], G)
+            for p in range(3)
+        )
+        dec, _ = swar.h74_value_correct(d, p0, p1, p2)
+        return fin(dec)
     if codec == "golay":
         cw = _golay_cw_tile(x, head_dim)
         d12 = C.golay_correct_data_i32(cw, _B_MASKS)  # [C4, bs]
@@ -174,13 +181,11 @@ def _extract_kt_tile(codec, raw, head_dim, op_t, *, minus8):
 
     dw = swar.data_words(codec, head_dim)
     x = _i32(raw)[:dw]
-    if codec in ("int4", "hamming84", "golay"):
+    if codec in ("int4", "hamming74", "hamming84", "golay"):
+        # every codec's data array is the int4 packing (round-5 h74
+        # re-layout included): ONE nibble split + bitcast, zero decode
         lo, hi = swar.int4_split(x)
         return fin(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
-    if codec == "hamming74":
-        G = dw // 4  # data array: 4 bit-sliced data planes
-        planes = [x[i * G : (i + 1) * G] for i in range(4)]
-        return fin(swar.h74_sliced_unpack_values(planes, G))
     raise ValueError(f"scrub fast path does not support codec '{codec}'")
 
 
@@ -210,9 +215,16 @@ def _count_errors(codec, raw, valid_lanes, head_dim):
             )
         return corrected, detected
     if codec == "hamming74":
-        G = x.shape[0] // 7
-        _, errmask = swar.h74_sliced_correct_planes(x, G)
-        corrected = jnp.sum(pc(errmask * valid_lanes), dtype=jnp.int32)
+        dw = swar.data_words(codec, head_dim)
+        G = (x.shape[0] - dw) // 3
+        lo, hi = swar.int4_split(x[:dw])
+        d = _i32(pltpu.bitcast(jnp.concatenate([lo, hi], axis=0), jnp.int8))
+        p0, p1, p2 = (
+            swar.h74_plane_bits(x[dw + p * G : dw + (p + 1) * G], G)
+            for p in range(3)
+        )
+        _, err = swar.h74_value_correct(d, p0, p1, p2)
+        corrected = jnp.sum(err * valid_lanes, dtype=jnp.int32)
         return corrected, zero
     if codec == "golay":
         cw = _golay_cw_tile(x, head_dim)

@@ -9,8 +9,8 @@ processes 4-32 values:
   codec      packing (data-first rows)           physical bits/value
   --------   ---------------------------------   -------------------
   int4       8 nibbles / word                    4.0
-  hamming74  bit-sliced: 4 data + 3 parity       7.0
-             planes x 32 cw
+  hamming74  data nibbles int4-packed, parity    7.0
+             bit-sliced 3 planes x 32 cw
   hamming84  data nibbles int4-packed, parity    8.0
              nibbles int4-packed
   golay      data nibbles int4-packed, parity    8.0 (24 bits/cw)
@@ -46,8 +46,9 @@ rebuild K^T:
   prefix     ordered over its half. hamming84 and golay store their DATA
              nibbles in exactly this layout (scrub-mode reads are int4
              reads); hamming84 parity nibbles mirror it in the parity half.
-  hamming74  value v  <-> plane word group v%G, bit position v//G; planes
-             ordered [d0..d3, p0..p2] - data-first already.
+  hamming74  data nibbles in the int4 layout (scrub reads ARE int4
+             reads); parity bit p of value v at parity plane word
+             p*G + v%G, bit v//G (3 bit-sliced planes).
   golay      codeword c protects values (c, c+C4, c+2*C4) - THIRD-
              PARTITIONED over the padded codeword count C4 (the decoded
              nibble planes of the correcting path concatenate along
@@ -200,67 +201,91 @@ def int4_split(x):
 
 
 # =============================================================================
-# hamming74: bit-sliced, 7 planes x 32 codewords per word group
+# hamming74: int4-packed data nibbles + 3 bit-sliced parity planes
 # =============================================================================
+#
+# Round-5 re-layout: the DATA half of every h74 row is pack_int4 of the
+# nibbles - byte-identical to the int4/hamming84/golay data prefix - so the
+# scrub-extract read path IS the unprotected int4 read (the previous
+# 4-data-plane bit-sliced layout made every h74 extract pay a ~35-op
+# per-tile bit-expansion, measured +1.27 ms/step at bench shapes vs int4's
+# free nibble split). Parity stays bit-sliced: 3 planes x 32 codewords
+# (plane p word g bit t = parity bit p of value t*G + g). 7.0 bits/value
+# unchanged (pv/8 data words + 3*pv/32 parity words = 7*pv/32).
 
 
-def h74_slice_pack(cw, axis=-1):
-    """[..., 32G] 7-bit codewords -> [..., 7G] plane words (plane-major:
-    word p*G + g holds bit p of codeword t*G + g at bit position t, i.e.
-    value v lives in word group v % G at bit v // G)."""
-    cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
-    pre = cw.shape[:-1]
-    G = cw.shape[-1] // 32
-    c = cw.reshape(pre + (32, G))  # [..., t, g]
-    planes = (c[..., None] >> jnp.arange(7)) & 1  # [..., t, g, p]
+def _slice_pack(bits_vals, nbits: int, axis=-1):
+    """[..., 32G] small ints -> [..., nbits*G] bit-sliced plane words
+    (plane-major: word p*G + g holds bit p of value t*G + g at bit t)."""
+    x = jnp.moveaxis(bits_vals, axis, -1).astype(jnp.int32)
+    pre = x.shape[:-1]
+    G = x.shape[-1] // 32
+    c = x.reshape(pre + (32, G))  # [..., t, g]
+    planes = (c[..., None] >> jnp.arange(nbits)) & 1  # [..., t, g, p]
     words = jnp.sum(
         planes.astype(jnp.int32) << jnp.arange(32)[:, None, None], axis=-3
     )  # [..., g, p]
     nd = len(pre)
-    words = jnp.moveaxis(words, -1, nd).reshape(pre + (7 * G,))
+    words = jnp.moveaxis(words, -1, nd).reshape(pre + (nbits * G,))
     return jnp.moveaxis(words, -1, axis)
 
 
-def h74_slice_unpack(w, axis=-1):
-    """Inverse of h74_slice_pack: [..., 7G] plane words -> [..., 32G]
-    7-bit codewords (int32)."""
+def _slice_unpack(w, nbits: int, axis=-1):
+    """Inverse of _slice_pack: [..., nbits*G] plane words -> [..., 32G]."""
     w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
     pre = w.shape[:-1]
-    G = w.shape[-1] // 7
-    planes = w.reshape(pre + (7, G))  # [..., p, g]
+    G = w.shape[-1] // nbits
+    planes = w.reshape(pre + (nbits, G))  # [..., p, g]
     bits = (planes[..., None, :, :] >> jnp.arange(32)[:, None, None]) & 1
     # bits: [..., t, p, g]
-    cw = jnp.sum(bits << jnp.arange(7)[:, None], axis=-2)  # [..., t, g]
+    cw = jnp.sum(bits << jnp.arange(nbits)[:, None], axis=-2)  # [..., t, g]
     cw = cw.reshape(pre + (32 * G,))
     return jnp.moveaxis(cw, -1, axis)
 
 
-def h74_sliced_correct_planes(w, G: int):
-    """[7G, bs] plane words -> 4 corrected data planes, each [G, bs].
-
-    Bit-sliced Hamming(7,4): one XOR corrects 32 codewords. Layout
-    [d0..d3, p0..p2] as in the reference hamming74_triton.py:47."""
-    D = [w[i * G : (i + 1) * G] for i in range(4)]
-    P = [w[i * G : (i + 1) * G] for i in range(4, 7)]
-    s0 = D[0] ^ D[1] ^ D[3] ^ P[0]
-    s1 = D[0] ^ D[2] ^ D[3] ^ P[1]
-    s2 = D[1] ^ D[2] ^ D[3] ^ P[2]
-    c0 = s0 & s1 & ~s2
-    c1 = s0 & ~s1 & s2
-    c2 = ~s0 & s1 & s2
-    c3 = s0 & s1 & s2
-    return [D[0] ^ c0, D[1] ^ c1, D[2] ^ c2, D[3] ^ c3], (s0 | s1 | s2)
+def h74_split_pack(cw, axis=-1):
+    """[..., pv] 7-bit codewords -> [..., 7*pv/32] words, DATA-FIRST split:
+    pack_int4 of the data nibbles (pv/8 words), then 3 bit-sliced parity
+    planes (3*pv/32 words)."""
+    cw = jnp.moveaxis(cw, axis, -1).astype(jnp.int32)
+    d = pack_int4(cw & 0xF, axis=-1)
+    p = _slice_pack((cw >> 4) & 7, 3, axis=-1)
+    return jnp.moveaxis(jnp.concatenate([d, p], axis=-1), -1, axis)
 
 
-def h74_sliced_unpack_values(planes, G: int):
-    """4 data planes [G, bs] -> nibble values [32G, bs] int32 (value v at
-    sublane v; v = t*G + g <-> bit t of plane word g)."""
-    reps = [jnp.concatenate([p] * 32, axis=0) for p in planes]
-    t = jax.lax.broadcasted_iota(jnp.int32, reps[0].shape, 0) // G
-    nib = (reps[0] >> t) & 1
-    for p in range(1, 4):
-        nib = nib | (((reps[p] >> t) & 1) << p)
-    return nib
+def h74_split_unpack(w, axis=-1):
+    """Inverse of h74_split_pack: [..., W] -> [..., 32*W/7] codewords."""
+    w = jnp.moveaxis(w, axis, -1).astype(jnp.int32)
+    pv = 32 * w.shape[-1] // 7
+    d = unpack_int4(w[..., : pv // 8], axis=-1)
+    p = _slice_unpack(w[..., pv // 8 :], 3, axis=-1)
+    return jnp.moveaxis(d | (p << 4), -1, axis)
+
+
+def h74_plane_bits(plane, G: int):
+    """One parity plane [G, bs] -> per-value bits [32G, bs] int32 0/1
+    (value v = t*G + g <-> bit t of plane word g)."""
+    rep = jnp.concatenate([plane] * 32, axis=0)
+    t = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 0) // G
+    return (rep >> t) & 1
+
+
+def h74_value_correct(d, p0, p1, p2):
+    """Per-value Hamming(7,4) correction: d [N, bs] data nibbles, p_i
+    [N, bs] parity bits (0/1). Syndromes {3,5,6,7} flip data bits
+    {0,1,2,3}; {1,2,4} are parity-bit errors (data untouched). Returns
+    (corrected nibbles, nonzero-syndrome mask 0/1) - the mask counts every
+    corrected codeword, matching the plane-domain accounting."""
+    s0 = (d ^ (d >> 1) ^ (d >> 3) ^ p0) & 1
+    s1 = (d ^ (d >> 2) ^ (d >> 3) ^ p1) & 1
+    s2 = ((d >> 1) ^ (d >> 2) ^ (d >> 3) ^ p2) & 1
+    corr = (
+        (s0 & s1 & (s2 ^ 1))
+        | ((s0 & (s1 ^ 1) & s2) << 1)
+        | (((s0 ^ 1) & s1 & s2) << 2)
+        | ((s0 & s1 & s2) << 3)
+    )
+    return d ^ corr, s0 | s1 | s2
 
 
 # =============================================================================
@@ -494,7 +519,7 @@ def data_words(codec: str, head_dim: int) -> int:
     if codec in ("int4", "hamming84"):
         return round_up(head_dim, 8) // 8
     if codec == "hamming74":
-        return 4 * round_up(head_dim, 32) // 32
+        return round_up(head_dim, 32) // 8  # int4-packed data nibbles
     return head_dim  # fp16 / fp8: the whole row is data
 
 
@@ -552,7 +577,7 @@ def pack_codewords(codec: str, cw, head_dim: int, axis=-1):
     if codec == "int4":
         return pack_int4(cw, axis=axis)
     if codec == "hamming74":
-        return h74_slice_pack(cw, axis=axis)
+        return h74_split_pack(cw, axis=axis)
     if codec == "hamming84":
         return h84_split_pack(cw, axis=axis)
     if codec == "golay":
@@ -565,7 +590,7 @@ def unpack_codewords(codec: str, w, head_dim: int, axis=-1):
     if codec == "int4":
         return unpack_int4(w, axis=axis)
     if codec == "hamming74":
-        return h74_slice_unpack(w, axis=axis)
+        return h74_split_unpack(w, axis=axis)
     if codec == "hamming84":
         return h84_split_unpack(w, axis=axis)
     if codec == "golay":

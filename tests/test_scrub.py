@@ -99,6 +99,48 @@ def test_scrub_cleans_cache(tiny):
     assert (np.where(mask, cnt, 0) == 0).all(), "written page has errors"
 
 
+@pytest.mark.parametrize(
+    "mode,codec",
+    [("int4-hamming84", "hamming84"), ("int12-golay", "golay"),
+     ("int4-hamming", "hamming74")],
+)
+def test_decode_loop_parity_written_valid(tiny, mode, codec):
+    """The scanned decode_loop must store VALID codewords for loop-written
+    tokens too: the split layout writes data through the kernel but parity
+    through the per-step jnp scatter, and only decode_step (the host-loop
+    path) was covered by test_scrub_cleans_cache - a silently skipped
+    in-scan parity write would corrupt future correcting reads while
+    leaving every extract-path test green."""
+    from qkv_ecc_tpu.kernels import swar
+    from qkv_ecc_tpu.models.runtime import decode_loop
+
+    params, cfg = tiny
+    policy = policy_for_mode(mode, ber=2e-2, seed=42)
+    rng = np.random.default_rng(0)
+    B, P, S = 2, 21, 6
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, P)))
+    state, bt, _ = init_generation_state(
+        cfg, policy, B, P + S + 2, block_size=16
+    )
+    key = jax.random.key(7)
+    logits, state = prefill(params, ids, state, bt, cfg, policy, key)
+    logits, state, _ = decode_loop(
+        params, logits, state, bt, cfg, policy, key, S, block_size=16
+    )
+    for name in ("k", "v"):
+        full = swar.join_rows(
+            codec, state[f"{name}_cache"], state[f"{name}_parity"], axis=3
+        )
+        cw = swar.unpack_codewords(codec, full, cfg.head_dim, axis=3)
+        scrubbed = swar.scrub_codewords(codec, cw)
+        n_ok = int(state["context_len"][0])
+        bs = 16
+        pages = (n_ok - 1) // bs + 1
+        valid = jnp.arange(pages * bs).reshape(pages, bs) < n_ok
+        diff = (cw != scrubbed)[:, :pages]
+        assert not bool(jnp.any(diff & valid[None, :, None, None, :])), name
+
+
 @pytest.mark.parametrize("codec", ["hamming74", "hamming84", "golay"])
 def test_readonly_kernel_scrub_extract_matches_decode(codec):
     """paged_attention_ecc(scrub=True) (extract-only fast path) is bitwise

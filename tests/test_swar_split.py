@@ -46,24 +46,26 @@ def test_data_prefix_is_int4_packing(rng):
     head_dim = 128
     q = jnp.asarray(rng.integers(0, 16, (4, head_dim)), jnp.int32)
     int4_words = np.asarray(swar.pack_int4(q))
-    for codec in ("hamming84", "golay"):
+    for codec in ("hamming74", "hamming84", "golay"):
+        # round-5 h74 re-layout: EVERY ECC codec's data array is the int4
+        # packing (parity alone is codec-specific), so the scrub extract
+        # path is literally the int4 read for all of them
         cw = swar.encode_codewords(codec, q, head_dim)
         w = np.asarray(swar.pack_codewords(codec, cw, head_dim))
         dw = swar.data_words(codec, head_dim)
         np.testing.assert_array_equal(w[..., :dw], int4_words, err_msg=codec)
-    # hamming74's data prefix is its 4 bit-sliced data planes
+    # hamming74's parity suffix: 3 bit-sliced planes (bit p of value v at
+    # plane word p*G + v%G, bit position v//G)
     cw = swar.encode_codewords("hamming74", q, head_dim)
     w = np.asarray(swar.pack_codewords("hamming74", cw, head_dim))
     dw = swar.data_words("hamming74", head_dim)
-    planes = jnp.asarray(w[..., :dw]).reshape(4, 4, -1)  # [batch, plane, G]
-    vals = np.zeros((4, head_dim), np.int32)
-    G = dw // 4
-    for p in range(4):
-        for v in range(swar.padded_values("hamming74", head_dim)):
-            if v < head_dim:
-                bit = (np.asarray(planes)[:, p, v % G] >> (v // G)) & 1
-                vals[:, v] |= bit << p
-    np.testing.assert_array_equal(vals, np.asarray(q))
+    G = swar.padded_values("hamming74", head_dim) // 32
+    planes = w[..., dw:].reshape(4, 3, G)
+    for p in range(3):
+        for v in range(head_dim):
+            bit = (planes[:, p, v % G] >> (v // G)) & 1
+            want = (np.asarray(cw[:, v]) >> (4 + p)) & 1
+            np.testing.assert_array_equal(bit, want, err_msg=f"p{p} v{v}")
 
 
 def test_h84_rebuild_cw_words(rng):
