@@ -14,8 +14,9 @@ TPU-native redesign of the reference's memory layout
     for free. The layer dimension is stacked on axis 0 of a single array per
     cache so one dynamic-slice selects a layer under jit.
   * Storage is BIT-PACKED int32 words (kernels/swar.py): int4 8 values/word
-    (4.0 bits/value), hamming74 bit-sliced 7 planes (7.0), hamming84 data +
-    parity nibble halves (8.0), golay data nibbles + parity planes (8.0).
+    (4.0 bits/value), hamming74 int4-packed data + 3 bit-sliced parity
+    planes (7.0), hamming84 data + parity nibble halves (8.0), golay data
+    nibbles + parity planes (8.0).
     The reference stored one codeword per uint8/int32 element, wasting bit 7
     of every Hamming byte and 8/32 bits of every Golay word
     (ecc_codecs/triton_kernels/config.py:41-70); round 1 of this framework
