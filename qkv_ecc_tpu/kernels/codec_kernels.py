@@ -155,26 +155,28 @@ def _golay_decode_kernel(x_ref, data_ref, cnt_ref):
     cnt_ref[:] = cnt
 
 
-@jax.jit
-def golay_encode_packed_tpu(data12):
+@functools.partial(jax.jit, static_argnames=("sublanes",))
+def golay_encode_packed_tpu(data12, sublanes: int = 64):
     """Pallas Golay encode: int32 12-bit data words -> 24-bit codewords."""
     return _tile_call(
-        _golay_encode_kernel, jnp.asarray(data12, jnp.int32), [jnp.int32], sublanes=64
+        _golay_encode_kernel, jnp.asarray(data12, jnp.int32), [jnp.int32],
+        sublanes=sublanes,
     )
 
 
-@jax.jit
-def golay_decode_packed_tpu(codewords):
+@functools.partial(jax.jit, static_argnames=("sublanes",))
+def golay_decode_packed_tpu(codewords, sublanes: int = 64):
     """Pallas Golay decode -> (data12, error_count 0-3 or sentinel 4).
 
     Uses the arithmetic IMLD decoder: unlike the reference (which could not
     fit the 4096-entry LUT gather into its fused kernels and fell back to
     Python for Golay, attention_ecc.py:759-775), the TPU decoder is pure
-    XOR/popcount/select vector ops.
+    XOR/popcount/select vector ops. `sublanes` sets the grid tile height
+    (compute-bound kernel; see scripts/codec_tile_probe.py).
     """
     return _tile_call(
-        _golay_decode_kernel, jnp.asarray(codewords, jnp.int32), [jnp.int32, jnp.int32],
-        sublanes=64,
+        _golay_decode_kernel, jnp.asarray(codewords, jnp.int32),
+        [jnp.int32, jnp.int32], sublanes=sublanes,
     )
 
 

@@ -29,7 +29,10 @@ def main():
         decode_loop, init_generation_state, prefill)
 
     cfg = get_model_config("mistral-7b")
-    batch, prompt_len, steps = 1, 1024, 64
+    # batch 4 (round 5; round-4 VERDICT flagged batch-1 as hiding the KV
+    # cost under the 14.5 GB weight stream): 4 sequences' paged KV+scales
+    # fit beside the bf16 weights in 16 GB HBM
+    batch, prompt_len, steps = 4, 1024, 64
     tpu = jax.devices()[0]
     cpu = jax.devices("cpu")[0]
 
