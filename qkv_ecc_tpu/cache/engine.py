@@ -30,13 +30,11 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.algebra import ErrorType, GOLAY_B_ROW_MASKS
+from ..codecs.algebra import GOLAY_B_ROW_MASKS
 from ..codecs.fault_injection import flip_mask_for
 from ..codecs.interpolation import interpolate_double_errors
 from ..kernels.common import (

@@ -14,8 +14,6 @@ Error statistics are identical to the reference's attend-time accounting.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

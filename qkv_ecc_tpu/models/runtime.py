@@ -19,7 +19,6 @@ cache/block_manager.py + cache/engine.py.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +35,6 @@ from .kv_policy import (
     KVCachePolicy,
     decode_kv,
     encode_kv,
-    encode_kv_pair_scrubbed,
-    encode_kv_scrubbed,
     encode_pack_kv_scrubbed,
     hoisted_write_deltas,
     pack_kv,

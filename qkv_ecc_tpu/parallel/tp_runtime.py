@@ -25,8 +25,6 @@ fully tensor-parallel despite the fused Q|K|V weight layout.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
