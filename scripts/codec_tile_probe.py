@@ -1,13 +1,15 @@
-"""Grid/tile sweep for the standalone golay elementwise kernels (round-5
-VERDICT #7: golay decode measured 2.36 GVal/s = 0.67% bandwidth efficiency;
-either find >=10x via grid/layout or document the compute-bound ceiling).
+"""Grid/tile sweep + artifact refresh for the standalone codec kernels
+(round-5 VERDICT #7: golay decode measured 2.36 GVal/s = 0.67% bandwidth
+efficiency; either find >=10x via grid/layout or document the compute-bound
+ceiling).
 
 The IMLD is ~250 serial int ops per 32-bit lane; the roofline question is
 whether the measured rate is grid/pipeline-bound (fixable by tile size) or
-issue-bound (the documented ceiling). Chained timing, min of reps.
+issue-bound (the documented ceiling). Chained timing, min of reps. Writes
+results/kernel_throughput_v5e.json at the best golay tile.
 """
+import json
 import sys
-import time
 
 import numpy as np
 
@@ -15,9 +17,9 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
+    from qkv_ecc_tpu.evaluation.constants import compute_bandwidth_efficiency
     from qkv_ecc_tpu.evaluation.timing import time_fn_chained
     from qkv_ecc_tpu.kernels import codec_kernels as ck
 
@@ -35,15 +37,45 @@ def main():
 
         dt_d = time_fn_chained(dec, cw, iters=8)
         dt_e = time_fn_chained(enc, d12, iters=8)
-        gcw_d = n / dt_d / 1e9
-        gcw_e = n / dt_e / 1e9
-        results[sub] = (gcw_e, gcw_d)
-        print(f"sublanes {sub:4d}: encode {gcw_e:6.2f} Gcw/s "
-              f"({3*gcw_e:6.2f} GVal/s)   decode {gcw_d:6.2f} Gcw/s "
-              f"({3*gcw_d:6.2f} GVal/s)", flush=True)
-    best = max(results.items(), key=lambda kv: kv[1][1])
-    print(f"best decode tile: sublanes={best[0]} -> "
-          f"{3*best[1][1]:.2f} GVal/s", flush=True)
+        results[sub] = (n / dt_e / 1e9, n / dt_d / 1e9)
+        print(f"sublanes {sub:4d}: encode {results[sub][0]:6.2f} Gcw/s "
+              f"({3*results[sub][0]:6.2f} GVal/s)   decode "
+              f"{results[sub][1]:6.2f} Gcw/s ({3*results[sub][1]:6.2f} "
+              f"GVal/s)", flush=True)
+    best_sub, (enc_g, dec_g) = max(results.items(), key=lambda kv: kv[1][1])
+    print(f"best decode tile: sublanes={best_sub} -> {3*dec_g:.2f} GVal/s",
+          flush=True)
+
+    # refresh the artifact: all 3 codecs at their tiles (golay at best_sub)
+    nv = 32 * 1024 * 1024
+    vals = jnp.asarray(rng.integers(0, 16, nv, dtype=np.uint8))
+    rows = []
+    for codec, enc_fn, dec_fn, bpv in (
+        ("hamming74", ck.hamming74_encode_tpu,
+         lambda x: ck.hamming74_decode_tpu(x)[0], 7 / 8),
+        ("hamming84", ck.hamming84_encode_tpu,
+         lambda x: ck.hamming84_decode_tpu(x)[0], 1.0),
+    ):
+        cw8 = enc_fn(vals)
+        e = nv / time_fn_chained(enc_fn, vals, iters=8) / 1e6
+        d = nv / time_fn_chained(dec_fn, cw8, iters=8) / 1e6
+        rows.append({"codec": codec, "encode_mvals": e, "decode_mvals": d,
+                     "bw_eff": compute_bandwidth_efficiency(d, bpv, "v5e")})
+        print(f"{codec}: encode {e:,.0f} MVal/s decode {d:,.0f} MVal/s",
+              flush=True)
+    rows.append({
+        "codec": "golay",
+        "encode_mvals": 3 * enc_g * 1e3,
+        "decode_mvals": 3 * dec_g * 1e3,
+        "bw_eff": compute_bandwidth_efficiency(3 * dec_g * 1e3, 1.0, "v5e"),
+        "tile_sublanes": best_sub,
+        "note": "arithmetic IMLD, ~250 serial int ops/codeword lane: "
+                "compute-bound, not grid-bound (see tile sweep in "
+                "RESULTS.md)",
+    })
+    with open("results/kernel_throughput_v5e.json", "w") as fh:
+        json.dump(rows, fh, indent=1)
+    print("wrote results/kernel_throughput_v5e.json", flush=True)
 
 
 if __name__ == "__main__":
