@@ -444,7 +444,16 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
         x = _attn_out_mlp(x, attn[:, None], lp, cfg)
     if k_par_cols:
         # one batched parity scatter per K/V covering all layers' columns:
-        # parity[l, phys[b], h, :, slot[b]] = col[b, l, h, :]
+        # parity[l, phys[b], h, :, slot[b]] = col[b, l, h, :]. Issued as a
+        # raw lax.scatter with unique_indices + PROMISE_IN_BOUNDS: the
+        # .at[:, phys, :, :, slots] form (unique_indices=False + index
+        # clamping) blocks XLA's in-place scatter on the donated scan
+        # carry, which double-buffers BOTH parity arrays every step - a
+        # context-scaling multi-GB TEMP allocation (measured 9.5 GB at ctx
+        # 8k for golay; OOMs two 8k arms) and ~0.5-0.8 ms/step of copy
+        # traffic at ctx 1024. Indices ARE unique (one (page, slot) per
+        # batch row, disjoint per-sequence block tables) and in bounds
+        # (straight from block_table).
         bs = state["k_cache"].shape[4]
         phys = jnp.take_along_axis(
             block_table, (pos // bs)[:, None], axis=1
@@ -452,11 +461,37 @@ def _decode_step_impl(params, token_ids, state, block_table, cfg: ModelConfig,
         slots = pos % bs
         kp = jnp.moveaxis(jnp.stack(k_par_cols), 0, 1)  # [B, L, H, pw]
         vp = jnp.moveaxis(jnp.stack(v_par_cols), 0, 1)
-        state["k_parity"] = state["k_parity"].at[:, phys, :, :, slots].set(
-            kp.astype(state["k_parity"].dtype)
+        idx = jnp.stack([phys, slots], axis=1)  # [B, 2]
+        dnums = jax.lax.ScatterDimensionNumbers(
+            update_window_dims=(1, 2, 3),
+            inserted_window_dims=(1, 4),
+            scatter_dims_to_operand_dims=(1, 4),
         )
-        state["v_parity"] = state["v_parity"].at[:, phys, :, :, slots].set(
-            vp.astype(state["v_parity"].dtype)
+        # NOTE on forms (all measured on-chip, round 5 continuation):
+        # this batched scatter keeps L/H/pw as update-window dims, which
+        # makes XLA re-layout the parity carry inside the while loop
+        # ({0,2,4,3,1}: L-minor) - the transposed entry/exit copies are
+        # amortized over the whole 64-step loop (~0.01 ms/step) but the
+        # duplicate transposed buffers are a context-scaling TEMP
+        # allocation (golay ctx-8k decode: 10 GB temp, so two 8k arms do
+        # not fit on one 16 GB chip). The "obvious" fix - folding L into
+        # the scatter indices over a [L*P, H, pw, bs] view so the carry
+        # keeps its native layout - moves the layout copies INSIDE the
+        # loop: golay decode measured 16.9 ms/step vs 5.2 (full parity
+        # copy-in/copy-out every step). Keep this form; for >4k contexts
+        # run protected arms one-at-a-time per process.
+        scat = functools.partial(
+            jax.lax.scatter,
+            dimension_numbers=dnums,
+            indices_are_sorted=False,
+            unique_indices=True,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        state["k_parity"] = scat(
+            state["k_parity"], idx, kp.astype(state["k_parity"].dtype)
+        )
+        state["v_parity"] = scat(
+            state["v_parity"], idx, vp.astype(state["v_parity"].dtype)
         )
     logits = _lm_head(params, x, cfg)[:, 0]
     state["context_len"] = pos + 1
